@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed with a count()-style full materialization so
+the whole plan runs. Before timing, every query is executed once at
+sf0.001: the generated whole-stage-codegen source is identical across
+scale factors, so this warms Spark's codegen cache and the JVM JIT,
+and the timed numbers measure execution throughput rather than
+first-compile latency (janino compile can dominate cold sub-second
+queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mathorcup_spark import registry  # noqa: E402
+from mathorcup_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per workload family (scan-agg, join-agg, window,
+# dedup/graph shapes). Grows as milestones land.
+HEADLINE = [
+    "a_grouped_multi_agg",
+    "flagship_revenue_by_priority",
+    "j_broadcast_inner",
+    "w_topk_per_group",
+    "a_dedup_rows",
+    "u_bidirectional_edges",
+]
+
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("mathorcup_spark_bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    for name in names:  # codegen/JIT warmup on tiny data
+        qs[name](spark, WARMUP_SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

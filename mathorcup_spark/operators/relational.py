@@ -1,0 +1,656 @@
+"""Relational core: projections, filters, joins, aggregates, windows,
+set ops (SURVEY.md §2.2-§2.6).
+
+Each query is a pure function ``(spark, sf_dir) -> DataFrame`` built
+from DataFrame primitives only, so Catalyst gets the whole plan:
+filters/projections push into the parquet scan, small-dimension joins
+broadcast, aggregates get map-side partials, AQE re-plans at runtime.
+
+Scale posture (100 TB): fact tables (lineitem/orders/events) are only
+ever scanned-filtered-aggregated or joined to broadcastable dims /
+co-partitioned facts; no global single-partition window appears in
+any registered query (global top-n uses TakeOrderedAndProject via
+``orderBy().limit()``; "tail" slices use an anti-join against the
+head keys instead of a global row_number).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import davg, dsum, oracle_davg, oracle_dsum, register
+
+# ---------------------------------------------------------------------------
+# Flagship (Milestone 0): scan → filter → join → derive → agg → sort.
+# Shape of the reference's richest relational slice (second.py join+derive
+# prefix, src/utils.py:233-309) re-expressed on the TPC-H-ish tables.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_priority",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {oracle_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           {oracle_davg("l.l_quantity", "avg_qty")},
+           count(*) AS n_items,
+           count(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Flagship: filtered fact-fact join + derived revenue + multi-agg. "
+    "Reference shape: src/utils.py:241-290 (join) + src/evaluate.py:39-44 "
+    "(derived metric aggregation).",
+    tags=("flagship", "J1", "A1", "A16"),
+)
+def flagship_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    # orders:lineitem is ~1:4 — at 100 TB both sides are huge, so this is a
+    # shuffle join on the natural key; AQE handles skew. The filter prunes
+    # lineitem *before* the shuffle (pushed to the parquet scan).
+    return (
+        lineitem.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            davg("l_quantity", "avg_qty"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p_project_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal IS NOT NULL
+    """,
+    doc="P3/P4/P5/P6: column-list projection + equality & null predicates "
+    "(reference src/data.py:9-11, src/utils.py:244-245).",
+    tags=("P3", "P4", "P5", "P6"),
+)
+def p_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return customer.filter(
+        (F.col("c_mktsegment") == "BUILDING") & F.col("c_acctbal").isNotNull()
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "p_rename_all",
+    oracle="""
+    SELECT r_regionkey AS region_id, r_name AS region_name FROM region
+    """,
+    doc="P1: positional rename-all via toDF(*names) "
+    "(reference src/utils.py:37,47,66 assigns df.columns = meanings).",
+    tags=("P1",),
+)
+def p_rename_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "region").toDF("region_id", "region_name")
+
+
+@register(
+    "p_drop_columns",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size FROM part
+    """,
+    doc="P2: column drop (reference src/utils.py:239,251-254 drops price/"
+    "carid/json columns between stages).",
+    tags=("P2",),
+)
+def p_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "part").drop("p_name", "p_type", "p_retailprice")
+
+
+@register(
+    "p_head_slice",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+    doc="P7 (head): ordered prefix — reference iloc[:n] "
+    "(src/utils.py:213-214). Spark: orderBy().limit() compiles to "
+    "TakeOrderedAndProject (no global sort materialized).",
+    tags=("P7", "W4"),
+)
+def p_head_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(100)
+
+
+@register(
+    "p_tail_slice",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100)
+    """,
+    doc="P7 (tail): complement of the head slice — reference iloc[n:] "
+    "(src/utils.py:215). Implemented as anti-join against the head keys, "
+    "NOT a global row_number window (which would single-partition at scale).",
+    tags=("P7",),
+)
+def p_tail_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    head = orders.orderBy("o_orderkey").limit(100).select("o_orderkey")
+    return orders.join(F.broadcast(head), "o_orderkey", "left_anti")
+
+
+@register(
+    "p_threshold_indicator",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END AS low_discount
+    FROM lineitem
+    """,
+    doc="P8/F8: threshold predicate → 0/1 indicator column "
+    "(reference src/evaluate.py:20-23 ape<=0.05; src/utils.py:245-250 "
+    "sold flag).",
+    tags=("P8", "F8"),
+)
+def p_threshold_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") <= 0.05, 1).otherwise(0).alias("low_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_broadcast_inner",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="J1: equi-inner join, dimension side broadcast — replaces the "
+    "reference's O(N*M) python-loop join (src/utils.py:241-258). "
+    "nation/region are broadcast at any scale factor.",
+    tags=("J1", "J3"),
+)
+def j_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "j_filtered_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+    doc="J2: inner join with pre-filter on one side (reference "
+    "src/utils.py:263-290 joins only sold transactions). The filter "
+    "pushes below the join into the orders scan.",
+    tags=("J2",),
+)
+def j_filtered_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
+
+
+@register(
+    "j_left_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Left outer join (free Spark surface beyond reference; SURVEY §2.3 "
+    "note: declare inner/left/semi/anti).",
+    tags=("J-outer",),
+)
+def j_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).select("c_custkey", "o_orderkey")
+
+
+@register(
+    "j_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    doc="Left-semi join: customers with at least one large order "
+    "(EXISTS shape; SURVEY §2.3).",
+    tags=("J-semi",),
+)
+def j_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 280000)
+    """,
+    doc="J5/U2: anti-join — customers with no large order; same semantics "
+    "as the reference's candidate-set difference in filtered MRR "
+    "(src/evaluate.py:130-136). Threshold chosen so the result is "
+    "non-empty at every scale factor (0-row matches verify nothing).",
+    tags=("J5", "U2"),
+)
+def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 280000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j_lookup_encode",
+    oracle="""
+    WITH mapping AS (
+      SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS brand_id
+      FROM (SELECT DISTINCT p_brand FROM part)
+    )
+    SELECT p.p_partkey, m.brand_id
+    FROM part p JOIN mapping m ON p.p_brand = m.p_brand
+    """,
+    doc="J4/E1/E2: dictionary-encode via broadcast lookup join. The "
+    "reference's Dictionary (src/data.py:131-182) assigns first-seen ids; "
+    "distributed engines can't reproduce insertion order, so ids are "
+    "row_number over sorted distinct values (SURVEY §4.2 decision 2).",
+    tags=("J4", "E1", "E2", "F11"),
+)
+def j_lookup_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    # The distinct-values mapping is tiny (vocabulary-sized) at any SF —
+    # the single-partition window over it is safe, and the join broadcasts.
+    mapping = (
+        part.select("p_brand")
+        .distinct()
+        .withColumn(
+            "brand_id",
+            (F.row_number().over(W.orderBy("p_brand")) - 1).cast("long"),
+        )
+    )
+    return part.join(F.broadcast(mapping), "p_brand").select("p_partkey", "brand_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations (core statistical; metric aggs live in metrics.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_column_stats",
+    oracle=f"""
+    SELECT
+      {oracle_davg("c_acctbal", "mean_acctbal")},
+      CAST(min(c_acctbal) AS DOUBLE) AS min_acctbal,
+      CAST(max(c_acctbal) AS DOUBLE) AS max_acctbal,
+      count(c_acctbal) AS n,
+      sqrt((CAST(sum(CAST(c_acctbal*c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+            - CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(c_acctbal))
+           / (count(c_acctbal) - 1)) AS std_acctbal
+    FROM customer
+    """,
+    doc="A1/A2/A16: mean/std/min/max/count in ONE scan — the reference "
+    "makes a full pass per column (src/data.py:108-125). std is "
+    "stddev_samp (pandas default, src/data.py:111), computed from exact "
+    "decimal moments so both engines agree bit-for-bit.",
+    tags=("A1", "A2", "A16"),
+)
+def a_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    c = F.col("c_acctbal")
+    dec = c.cast("decimal(18,6)")
+    dec2 = (c * c).cast("decimal(18,6)")
+    n = F.count(c)
+    s1 = F.sum(dec).cast("double")
+    s2 = F.sum(dec2).cast("double")
+    return customer.agg(
+        (s1 / n).alias("mean_acctbal"),
+        F.min(c).alias("min_acctbal"),
+        F.max(c).alias("max_acctbal"),
+        n.alias("n"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("std_acctbal"),
+    )
+
+
+@register(
+    "a_distinct_union_domain",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM (
+      SELECT c_nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    doc="A5/U1: union of two column domains + distinct — the reference's "
+    "set(train)|set(dev) dictionary-domain build (src/utils.py:76-83), "
+    "as a shuffle-based distinct instead of a driver-memory set.",
+    tags=("A5", "U1"),
+)
+def a_distinct_union_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "a_dedup_rows",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="A6: row dedup — reference dedups triples via a driver-side set() "
+    "(src/utils.py:161-162); here dropDuplicates (shuffle + spill-safe).",
+    tags=("A6",),
+)
+def a_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.select("l_orderkey", "l_returnflag", "l_linestatus").dropDuplicates()
+
+
+@register(
+    "a_histogram",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+    SELECT CAST(least(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 40)), 39) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM orders, b
+    GROUP BY 1
+    """,
+    doc="A7: 40-equal-width-bin histogram — reference plt.hist per column "
+    "(preprocess.py:135-160). One agg pass for bounds, one grouped pass "
+    "for counts; the bounds row is a broadcast (1-row crossJoin).",
+    tags=("A7",),
+)
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 40
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(39)
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a_group_degree_norm",
+    oracle="""
+    SELECT l_partkey, l_returnflag, count(*) AS deg,
+           1.0 / count(*) AS norm
+    FROM lineitem GROUP BY l_partkey, l_returnflag
+    """,
+    doc="A8/G2: per-(node, relation) degree + 1/degree edge norm — the "
+    "reference's one-hot scatter_add (src/graph.py:30-43) as a groupBy.",
+    tags=("A8", "G2"),
+)
+def a_group_degree_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_partkey", "l_returnflag")
+        .agg(F.count("*").alias("deg"))
+        .withColumn("norm", F.lit(1.0) / F.col("deg"))
+    )
+
+
+@register(
+    "a_grouped_multi_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum("l_quantity", "sum_qty")},
+           {oracle_dsum("l_extendedprice", "sum_base_price")},
+           {oracle_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {oracle_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {oracle_davg("l_quantity", "avg_qty")},
+           {oracle_davg("l_extendedprice", "avg_price")},
+           {oracle_davg("l_discount", "avg_disc")},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: multi-key groupBy with 8 aggregates in one scan "
+    "(the reference's pass-per-column anti-pattern done right; "
+    "SURVEY §4.1). Map-side partial aggregation + AQE coalescing.",
+    tags=("A1", "A16", "bench"),
+)
+def a_grouped_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Windows / sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_rank_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+    FROM orders
+    """,
+    doc="W1: per-group descending rank — the reference's sort_and_rank "
+    "(src/evaluate.py:105-109) torch.sort per query; here one window. "
+    "Tie-broken on the unique key for determinism.",
+    tags=("W1",),
+)
+def w_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
+@register(
+    "w_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    doc="W2/W4: top-k per group (argmax generalization, "
+    "src/evaluate.py:237-247). Window + filter; Spark pushes the rank "
+    "filter into the sort (WindowGroupLimit).",
+    tags=("W2", "W4"),
+)
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "w_running_agg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS best_so_far,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_sum
+    FROM events
+    """,
+    doc="W3: running max (best-so-far checkpoint tracking, "
+    "preprocess.py:67-78) + running sum, per user ordered by time.",
+    tags=("W3",),
+)
+def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.max("value").over(w).alias("best_so_far"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+    UNION ALL
+    SELECT s_nationkey, s_acctbal FROM supplier
+    """,
+    doc="U3: row-wise concat — reference pd.concat (src/utils.py:248,279); "
+    "Spark unionByName.",
+    tags=("U3",),
+)
+def u_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal")
+    )
+    return customer.unionByName(supplier)
+
+
+@register(
+    "u_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="U2: set difference — reference np set subtraction for MRR "
+    "candidate filtering (src/evaluate.py:133-136). subtract() = "
+    "EXCEPT DISTINCT (exceptAll would be bag difference). Customers "
+    "with open orders but no filled ones — non-empty at every sf.",
+    tags=("U2",),
+)
+def u_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_cust.subtract(filled_cust)
+
+
+@register(
+    "u_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="Intersect (declared free per SURVEY §2.6 note).",
+    tags=("U-intersect",),
+)
+def u_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.intersect(supplier)
+
+
+@register(
+    "u_bidirectional_edges",
+    oracle="""
+    SELECT src, dst FROM (
+      SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem
+      UNION ALL
+      SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
+    )
+    """,
+    doc="U4/G3: bidirectional edge expansion — union of mirrored "
+    "endpoints (reference src/graph.py:51-53).",
+    tags=("U4", "G3"),
+)
+def u_bidirectional_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    mirrored = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(mirrored)

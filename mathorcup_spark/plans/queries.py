@@ -1,0 +1,9 @@
+"""Registry bootstrap: importing this module populates
+``mathorcup_spark.registry.REGISTRY`` with every declared query.
+
+Add new operator modules here as they land (SURVEY.md §7 milestones).
+"""
+
+from ..operators import relational  # noqa: F401
+
+_ALL = [relational]
