@@ -4,6 +4,7 @@
 Add new operator modules here as they land (SURVEY.md §7 milestones).
 """
 
+from ..functions import scalar  # noqa: F401
 from ..operators import relational  # noqa: F401
 
-_ALL = [relational]
+_ALL = [relational, scalar]
