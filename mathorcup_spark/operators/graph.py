@@ -1,0 +1,216 @@
+"""Graph operators (SURVEY.md §2.10): co-occurrence triple build,
+edge normalization, embedding scoring, filtered ranking.
+
+The reference builds an attribute co-occurrence knowledge graph with
+a rows × 22×21-pair Python loop (~14M iterations,
+``src/utils.py:132-209``) and evaluates link prediction with a
+per-triple Python loop (``src/evaluate.py:111-191``). Here both are
+single declarative plans: melt → self-join for the triple build,
+crossJoin → anti-join → window for the filtered ranking — shapes that
+scale out (the self-join shuffles on row_id; the ranking broadcasts
+the small query side).
+
+G2 edge norm is registered as ``a_group_degree_norm`` (relational.py)
+and G3 bidirection as ``u_bidirectional_edges``; G4 (iterative R-GCN
+message passing) is in ``ml/graph_embed.py`` — iteration cannot live
+in one DAG (SURVEY §4.2 decision 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "g_triple_build",
+    oracle="""
+    WITH melted AS (
+      SELECT p_partkey AS row_id, 'p_brand' AS name, p_brand AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_type', p_type FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size', CAST(p_size AS VARCHAR) FROM part
+    ), pairs AS (
+      SELECT DISTINCT a.name || ':' || a.value AS head_token,
+                      b.name AS rel_token,
+                      b.name || ':' || b.value AS tail_token
+      FROM melted a JOIN melted b
+        ON a.row_id = b.row_id AND a.name <> b.name
+    ), ent AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS ent_id
+      FROM (SELECT DISTINCT head_token AS token FROM pairs
+            UNION SELECT DISTINCT tail_token FROM pairs)
+    ), rel AS (
+      SELECT rel_token, CAST(row_number() OVER (ORDER BY rel_token) - 1 AS BIGINT) AS rel_id
+      FROM (SELECT DISTINCT rel_token FROM pairs)
+    )
+    SELECT h.ent_id AS head, r.rel_id AS rel, t.ent_id AS tail
+    FROM pairs p
+    JOIN ent h ON p.head_token = h.token
+    JOIN rel r ON p.rel_token = r.rel_token
+    JOIN ent t ON p.tail_token = t.token
+    """,
+    doc="G1: attribute co-occurrence triple build — for every row and "
+    "every ordered pair of discrete columns (i≠j), emit "
+    "(col_i:val_i, col_j, col_j:val_j), dedup, encode to dense ids "
+    "(src/utils.py:132-209). Vectorized: melt (union of per-column "
+    "projections) → self-join on row_id — replaces ~14M Python "
+    "iterations with one shuffled join; the entity/relation "
+    "dictionaries are vocabulary-sized broadcast joins.",
+    tags=("G1", "E1", "A6"),
+)
+def g_triple_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    cols = {"p_brand": F.col("p_brand"), "p_type": F.col("p_type"),
+            "p_size": F.col("p_size").cast("string")}
+    melted = None
+    for name, expr in cols.items():
+        piece = part.select(
+            F.col("p_partkey").alias("row_id"),
+            F.lit(name).alias("name"),
+            expr.alias("value"),
+        )
+        melted = piece if melted is None else melted.unionByName(piece)
+    a, b = melted.alias("a"), melted.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.row_id") == F.col("b.row_id")) & (F.col("a.name") != F.col("b.name")))
+        .select(
+            F.concat_ws(":", F.col("a.name"), F.col("a.value")).alias("head_token"),
+            F.col("b.name").alias("rel_token"),
+            F.concat_ws(":", F.col("b.name"), F.col("b.value")).alias("tail_token"),
+        )
+        .dropDuplicates()
+    )
+    ent = (
+        pairs.select(F.col("head_token").alias("token"))
+        .union(pairs.select("tail_token"))
+        .distinct()
+        .withColumn("ent_id", (F.row_number().over(W.orderBy("token")) - 1).cast("long"))
+    )
+    rel = (
+        pairs.select("rel_token")
+        .distinct()
+        .withColumn("rel_id", (F.row_number().over(W.orderBy("rel_token")) - 1).cast("long"))
+    )
+    return (
+        pairs.join(F.broadcast(ent), pairs.head_token == ent.token)
+        .select(F.col("ent_id").alias("head"), "rel_token", "tail_token")
+        .join(F.broadcast(rel), "rel_token")
+        .select("head", F.col("rel_id").alias("rel"), "tail_token")
+        .join(F.broadcast(ent), F.col("tail_token") == ent.token)
+        .select("head", "rel", F.col("ent_id").alias("tail"))
+    )
+
+
+@register(
+    "g_transe_score",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS s,
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE)) AS o
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT src_id, dst_id,
+           round(CAST(list_dot_product(s, o) AS DOUBLE), 6) AS dot_score,
+           round(list_sum(list_transform(list_zip(s, o),
+                 x -> x[1] - x[2])), 6) AS diff_score
+    FROM pairs
+    """,
+    doc="G5: triple scoring on embedding array columns — the reference's "
+    "additive 'distmult' score sum(s + r − o) (src/model/rgcn.py:31-37) "
+    "generalized to dot / difference scores via zip_with + aggregate — "
+    "JVM-side array arithmetic, no UDF. Rounded to 6dp (per-element "
+    "double sums accumulate in engine-specific order).",
+    tags=("G5",),
+)
+def g_transe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("s"))
+    b = emb.select(F.col("vec_id").alias("dst_id"), F.col("embedding").alias("o"))
+    joined = a.join(b, b.dst_id == a.src_id + 1)
+    dot = F.aggregate(
+        F.zip_with("s", "o", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    diff = F.aggregate(
+        F.zip_with("s", "o", lambda x, y: x.cast("double") - y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select(
+        "src_id",
+        "dst_id",
+        F.round(dot, 6).alias("dot_score"),
+        F.round(diff, 6).alias("diff_score"),
+    )
+
+
+@register(
+    "g_filtered_ranking",
+    oracle="""
+    WITH queries AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb,
+             label AS q_label
+      FROM embeddings WHERE vec_id < 20
+    ), cands AS (
+      SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb,
+             label AS c_label
+      FROM embeddings
+    ), scored AS (
+      SELECT q.q_id, c.c_id,
+             round(CAST(list_dot_product(q.q_emb, c.c_emb) AS DOUBLE), 6) AS score
+      FROM queries q JOIN cands c
+        ON c.c_id <> q.q_id AND c.c_label <> q.q_label
+    ), ranked AS (
+      SELECT q_id, c_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, c_id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT q_id, c_id, score, rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="G6: filtered link-prediction ranking — score every candidate "
+    "against each query, exclude known positives (same label: the "
+    "'filtered' setting of src/evaluate.py:111-191), rank per query, "
+    "keep top-5. One crossJoin(broadcast queries) + window job instead "
+    "of the reference's per-test-triple Python loop; AQE handles the "
+    "candidate-side skew.",
+    tags=("G6", "J5", "W1"),
+)
+def g_filtered_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cands.join(
+            F.broadcast(queries),
+            (F.col("c_id") != F.col("q_id")) & (F.col("c_label") != F.col("q_label")),
+        )
+        .select("q_id", "c_id", F.round(dot, 6).alias("score"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

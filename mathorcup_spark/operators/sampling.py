@@ -1,0 +1,152 @@
+"""Sampling / splits / randomized operators (SURVEY.md §2.9 R1-R7).
+
+Randomness policy (SURVEY §4.2 decision 3, §7.8.2): every randomized
+op takes an explicit seed; Spark's seeded generators are deterministic
+per (seed, partition layout) but cannot and should not bit-match the
+reference's numpy/sklearn RNG, and no cross-engine oracle can follow
+them — so truly random ops register WITHOUT oracle SQL (driver does
+the rows-only check) and their determinism is pinned by self-consistency
+tests. Where the reference's "sampling" is actually deterministic
+(ordered splits) or can be made so (hash-based corruption), the query
+gets a full oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Knuth's multiplicative hash constant — a deterministic stand-in for
+# the reference's np.random entity corruption (oracle-expressible).
+_HASH_A = 2654435761
+
+
+@register(
+    "r_ordered_split_train",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             percent_rank() OVER (ORDER BY o_orderkey) AS pr
+      FROM orders) WHERE pr < 0.7
+    """,
+    doc="R2: ordered 70/30 head split — reference loc[:train_len] over a "
+    "stable order (src/samples.py:106-117). percent_rank over the total "
+    "order; NOTE this is inherently a global-order op (single-partition "
+    "window) — kept for reference parity; the scalable split is "
+    "r_random_split (randomSplit).",
+    tags=("R2", "P7"),
+)
+def r_ordered_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(W.orderBy("o_orderkey")).alias("pr"),
+        )
+        .filter(F.col("pr") < 0.7)
+        .drop("pr")
+    )
+
+
+@register(
+    "r_negative_sampling",
+    oracle=f"""
+    WITH pos AS (
+      SELECT l_partkey AS head, l_returnflag AS rel, l_suppkey AS tail
+      FROM lineitem WHERE l_linenumber = 1
+    ), ents AS (SELECT count(DISTINCT l_suppkey) AS n_ent FROM lineitem),
+    tiled AS (
+      SELECT head, rel, tail, c.copy_idx FROM pos,
+             (SELECT unnest([0, 1, 2]) AS copy_idx) c
+    )
+    SELECT head, rel,
+           CASE WHEN copy_idx = 0 THEN tail
+                ELSE 1 + ((head % 1000003) * {_HASH_A} + copy_idx) % n_ent END AS tail,
+           CASE WHEN copy_idx = 0 THEN 1 ELSE 0 END AS label
+    FROM tiled, ents
+    """,
+    doc="R4: negative sampling — tile positives ×rate and corrupt the "
+    "tail entity, label pos=1/neg=0 (src/samples.py:19-32). The "
+    "reference corrupts with np.random; the engine corrupts with a "
+    "multiplicative hash of (head, copy) — same capability, "
+    "deterministic and oracle-checkable. explode(array_repeat) tiles "
+    "without a crossJoin.",
+    tags=("R4",),
+)
+def r_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    pos = lineitem.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_partkey").alias("head"),
+        F.col("l_returnflag").alias("rel"),
+        F.col("l_suppkey").alias("tail"),
+    )
+    n_ent = lineitem.agg(F.countDistinct("l_suppkey").alias("n_ent"))
+    tiled = pos.withColumn(
+        "copy_idx", F.explode(F.array([F.lit(i) for i in range(3)]))
+    )
+    return tiled.crossJoin(F.broadcast(n_ent)).select(
+        "head",
+        "rel",
+        F.when(F.col("copy_idx") == 0, F.col("tail"))
+        .otherwise(
+            1 + ((F.col("head") % 1000003) * _HASH_A + F.col("copy_idx"))
+            % F.col("n_ent")
+        )
+        .alias("tail"),
+        F.when(F.col("copy_idx") == 0, 1).otherwise(0).alias("label"),
+    )
+
+
+@register(
+    "r_exact_n_sample",
+    oracle=None,  # seeded Spark rand has no cross-engine oracle
+    doc="R3: uniform sample without replacement, exact n — reference "
+    "np.random.choice(N, n, replace=False) (src/samples.py:15-18). "
+    "orderBy(rand(seed)).limit(n): exact count, seeded; TakeOrdered, "
+    "no global sort materialization. Rows-only driver check.",
+    tags=("R3",),
+)
+def r_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.rand(42), F.col("o_orderkey"))
+        .limit(500)
+    )
+
+
+@register(
+    "r_fraction_sample",
+    oracle=None,
+    doc="R3 (fraction form): Bernoulli sample via df.sample(fraction, "
+    "seed) — per-partition, no shuffle, the scalable default when exact "
+    "n is not required. Rows-only driver check.",
+    tags=("R3",),
+)
+def r_fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "r_random_split_marker",
+    oracle=None,
+    doc="R1/R6: seeded shuffled split as a boolean mask column — "
+    "reference sklearn shuffle + head/tail (src/utils.py:210-219) and "
+    "the random train/test edge masks (src/graph.py:62-69). "
+    "rand(seed) < 0.7 marks the train side; count is the full table "
+    "(stable) for the rows-only check; randomSplit itself is exercised "
+    "in cars.split_dataset tests.",
+    tags=("R1", "R6", "R7"),
+)
+def r_random_split_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", (F.rand(42) < 0.7).alias("is_train")
+    )

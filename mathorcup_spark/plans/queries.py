@@ -5,6 +5,6 @@ Add new operator modules here as they land (SURVEY.md §7 milestones).
 """
 
 from ..functions import scalar  # noqa: F401
-from ..operators import relational  # noqa: F401
+from ..operators import graph, metrics, relational, sampling  # noqa: F401
 
-_ALL = [relational, scalar]
+_ALL = [relational, scalar, metrics, sampling, graph]
