@@ -1,0 +1,283 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md
+§2.13): exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale posture: exact dedup is one shuffle on the content hash;
+near-dup never compares all pairs — candidate generation is either
+key-bounded (same source, bounded id distance) or LSH-bucketed
+(band signature join), so the quadratic blowup of naive pairwise
+similarity is avoided at 100 TB. Signatures are computed with
+higher-order functions over word arrays (JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+def _norm_text():
+    return F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+
+
+def _shingles(words, n: int = 3):
+    """Distinct word n-gram shingles of an array column (HOF, no UDF)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    # F.get (NULL on out-of-bounds) not element_at (throws under ANSI)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(words, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+@register(
+    "d_exact_dedup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+      FROM documents
+    )
+    SELECT content_hash, count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM hashed GROUP BY content_hash
+    """,
+    doc="Exact dedup: group documents by normalized content hash, keep "
+    "the lowest doc_id per group — one shuffle on the hash; the "
+    "canonical first stage of any dedup pipeline. Output is the dedup "
+    "ledger (hash, multiplicity, survivor).",
+    tags=("dedup", "exact"),
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
+    "d_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             )) AS shingles
+      FROM (SELECT doc_id, source,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source
+     AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+    """,
+    doc="n-gram Jaccard near-dup scoring: distinct word-3-gram shingle "
+    "sets, |A∩B| / |A∪B| over key-bounded candidate pairs (same "
+    "source, id distance ≤ 20) — candidate generation by key, never "
+    "all-pairs. The LSH variant below replaces the key bound with "
+    "signature buckets.",
+    tags=("dedup", "jaccard"),
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    # 3-gram shingles via 1-based element_at, mirroring the oracle's
+    # range(1, len-1) — both sides produce exactly len-2 shingles
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
+    # Mirrors the oracle's 1-based range; F.get is 0-based and NULL-safe
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.get(words, (i - 1).cast("int")),
+                F.get(words, i.cast("int")),
+                F.get(words, (i + 1).cast("int")),
+            ),
+        )
+    )
+    sh = docs.select("doc_id", "source", shingles.alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 20),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+@register(
+    "d_minhash_lsh",
+    oracle=None,  # xxhash64 signatures have no DuckDB equivalent
+    doc="MinHash+LSH near-dup candidate pairs: word-3-gram shingles → "
+    "16 minhash values (xxhash64 with per-permutation salts) → 4 "
+    "banded signatures → self-join on (band, signature) buckets → "
+    "distinct candidate pairs with estimated similarity (fraction of "
+    "agreeing minhashes). No all-pairs comparison: cost is bounded by "
+    "bucket collisions. Deterministic (fixed salts) — rows-only check; "
+    "tests pin signature determinism and the shuffled-near-dup recall.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    shingles = _shingles(words, 3)
+    # minhash_i = min over shingles of xxhash64(salt_i || shingle)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.concat(i.cast("string"), s)))
+        ),
+    )
+    with_sig = docs.select("doc_id", sig.alias("sig"))
+    rows_per_band = N_HASHES // N_BANDS
+    banded = with_sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"),
+                                (b * rows_per_band + 1).cast("int"),
+                                rows_per_band,
+                            ).cast("array<string>"),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+        F.col("sig"),
+    ).select("doc_id", "bb.band", "bb.bucket", "sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@register(
+    "d_simhash",
+    oracle=None,  # xxhash64-based bit signatures, Spark-side only
+    doc="SimHash 64-bit signatures + Hamming-distance scoring over "
+    "key-bounded pairs: per word, xxhash64 votes ±1 on each bit; the "
+    "sign of the per-bit sum forms the signature; near-dups have small "
+    "Hamming distance (bit_count of XOR). All HOF arithmetic, no "
+    "Python. Deterministic — rows-only check.",
+    tags=("dedup", "simhash"),
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+    hashed = docs.select(
+        "doc_id", "source", F.transform(words, lambda w: F.xxhash64(w)).alias("hashes")
+    )
+    # SQL expr, not the Python API: shiftright/shiftleft only accept a
+    # Column shift amount in SQL. Per bit: sum ±1 votes over word
+    # hashes, set the bit iff the vote is positive.
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(
+            transform(sequence(0, 63), i ->
+              aggregate(hashes, 0, (acc, h) ->
+                acc + CASE WHEN shiftright(h, i) & 1L = 1L THEN 1 ELSE -1 END)),
+            sequence(0, 63),
+            (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+    sh = hashed.select("doc_id", "source", simhash.alias("simhash"))
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 20),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+@register(
+    "d_dedup_survivors",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM hashed)
+    SELECT doc_id, n_chars FROM ranked WHERE rn = 1
+    """,
+    doc="Exact-dedup survivor set: first doc_id per content hash via a "
+    "hash-partitioned window — the dropDuplicates(['hash']) shape with "
+    "a *defined* survivor (dropDuplicates keeps an arbitrary row; "
+    "pipelines need the deterministic one).",
+    tags=("dedup", "exact"),
+)
+def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("h").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "n_chars", F.md5(_norm_text()).alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )

@@ -1,0 +1,212 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §2.13; BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions (split/regexp/HOFs) — JVM-side, codegen,
+no Python in the hot path. Each is embarrassingly parallel over
+documents: no shuffle at all (narrow transformations only), so these
+scale linearly to 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# language-ID heuristic. Public knowledge (most-common function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "ist", "den", "ein"],
+    "fr": ["le", "la", "de", "et", "un", "en", "que", "pour", "dans", "les"],
+}
+
+def _ws_words():
+    return F.split(F.trim(F.col("text")), "\\s+")
+
+# BPE-ish tokenization regex: letter runs, digit runs, single other glyphs
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _stop_hits(words, lang: str):
+    return F.size(F.filter(words, lambda w: w.isin(STOPWORDS[lang])))
+
+
+@register(
+    "t_text_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           CAST(len(words) AS INTEGER) AS n_words,
+           CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len(words)
+             AS avg_word_len,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(len(list_filter(words, x -> list_contains(
+                 ['the','and','of','to','a','in','is','it','that','for'], x)))
+                AS DOUBLE) / len(words) AS stopword_ratio,
+           round(least(1.0, len(words) / 100.0)
+                 * (1 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                             AS DOUBLE) / length(text))
+                 * (0.5 + 0.5 * CAST(len(list_filter(words, x -> list_contains(
+                       ['the','and','of','to','a','in','is','it','that','for'], x)))
+                       AS DOUBLE) / len(words)), 6) AS quality
+    FROM w
+    """,
+    doc="Text quality scoring: char/word counts, average word length, "
+    "punctuation ratio, stopword ratio, composite quality heuristic "
+    "(length-capped × low-punct × stopword-weighted). Narrow ops only — "
+    "no shuffle, linear scale-out.",
+    tags=("text", "quality"),
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _ws_words()
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double") / n_chars
+    stop_ratio = _stop_hits(words, "en").cast("double") / n_words
+    avg_wlen = (
+        F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), n_words / 100.0) * (1 - punct) * (0.5 + 0.5 * stop_ratio),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        avg_wlen.alias("avg_word_len"),
+        punct.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(words, x -> list_contains(["
+            + ",".join(f"'{w}'" for w in ws)
+            + "], x)))"
+        )
+        for lang, ws in STOPWORDS.items()
+    }
+    order = list(STOPWORDS)  # tie-break: first language in declaration order
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = best THEN '{lang}'" for lang in order
+    ) + " END"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang AS labeled_lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, labeled_lang,
+             greatest({", ".join(hits[lang] for lang in order)}) AS best,
+             {", ".join(f"{hits[lang]} AS hits_{lang}" for lang in order)}
+      FROM w
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN best = 0 THEN 'unknown' ELSE {case} END AS detected_lang
+    FROM scored
+    """
+
+
+@register(
+    "t_language_id",
+    oracle=_langid_oracle(),
+    doc="Language identification via stopword-profile hits: count "
+    "matches against per-language function-word lists, argmax with a "
+    "declared tie-break order, 'unknown' when nothing matches. The "
+    "n-gram-profile generalization swaps the word lists for character "
+    "n-gram lists — same plan shape.",
+    tags=("text", "langid"),
+)
+def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    hits = {lang: _stop_hits(words, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    detected = F.when(best == 0, "unknown")
+    for lang in STOPWORDS:
+        detected = detected.when(hits[lang] == best, lang)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+    )
+
+
+@register(
+    "t_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INTEGER) AS bpe_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '{_TOKEN_RE}')) AS chars_per_token
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens and a BPE-ish regex "
+    "tokenization (letter runs / digit runs / single punctuation "
+    "glyphs), plus chars-per-token — the standard budget estimator for "
+    "LLM training data.",
+    tags=("text", "tokens"),
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(_ws_words())
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
+@register(
+    "t_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(ntext) AS fp_full,
+           md5(substr(ntext, 1, 128)) AS fp_prefix,
+           md5(substr(ntext, greatest(1, length(ntext) - 127), 128)) AS fp_suffix
+    FROM norm
+    """,
+    doc="Document fingerprinting: MD5 over whitespace-normalized "
+    "lowercase text, plus prefix/suffix block fingerprints (the "
+    "rolling-hash piecewise variant) — the keys exact and boilerplate "
+    "dedup group on. MD5 is the one hash both engines share bit-for-bit.",
+    tags=("text", "fingerprint"),
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ntext = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+    d = docs.select("doc_id", ntext.alias("ntext"))
+    return d.select(
+        "doc_id",
+        F.md5("ntext").alias("fp_full"),
+        F.md5(F.substring("ntext", 1, 128)).alias("fp_prefix"),
+        F.md5(
+            F.substring(
+                "ntext", F.greatest(F.lit(1), F.length("ntext") - 127), F.lit(128)
+            )
+        ).alias("fp_suffix"),
+    )
