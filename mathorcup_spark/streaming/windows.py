@@ -1,0 +1,161 @@
+"""Structured Streaming surface (SURVEY.md §2.12).
+
+The reference has no streaming at all; the engine declares the
+standard Spark streaming ops over the ``events`` table. Each
+aggregation below is ONE definition used in two modes:
+
+- batch mode (here, registered as oracle-checked queries): the same
+  ``window()`` / ``session_window()`` expressions over
+  ``spark.read.parquet`` — time-bucketed aggregation is meaningful in
+  batch and lets the DuckDB oracle verify the window semantics;
+- stream mode (``tests/test_streaming.py``): ``spark.readStream`` +
+  ``withWatermark`` feeding the *same* aggregation builders into a
+  memory sink, proving the definitions are genuinely streamable
+  (watermarked state, append/update output, dropDuplicates state,
+  applyInPandasWithState).
+
+Scale posture: windowed aggregation shuffles on (window, key) with
+map-side partials; watermarks bound state size; at 100 TB/day the
+events source is Kafka + partitioned sinks, which swap in at the
+``readStream.format(...)`` line without touching the aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import dsum, oracle_dsum, register
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """10-minute tumbling windows per event_type: count + exact sum.
+    Works identically on a batch or streaming events frame."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "st_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS win_end,
+           event_type,
+           count(*) AS n,
+           {oracle_dsum("value", "total")}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 10-minute window aggregation per event_type — the "
+    "batch face of the streaming groupBy(window(...)); windows align "
+    "to the epoch grid in both engines.",
+    tags=("streaming", "window"),
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+@register(
+    "st_sliding_window",
+    oracle="""
+    WITH grid AS (
+      SELECT ts, t.off FROM events,
+             (SELECT unnest([0, 5]) AS off) t
+    )
+    SELECT time_bucket(INTERVAL '10 minutes', ts - off * INTERVAL '1 minute')
+             + off * INTERVAL '1 minute' AS win_start,
+           count(*) AS n
+    FROM grid GROUP BY 1
+    """,
+    doc="Sliding window (10-minute width, 5-minute slide): each event "
+    "belongs to 2 overlapping windows; the oracle reproduces Spark's "
+    "slide grid with offset time_buckets.",
+    tags=("streaming", "window"),
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(load(spark, sf_dir, "events"))
+
+
+@register(
+    "st_session_window",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps)
+    SELECT user_id,
+           min(ts) AS sess_start,
+           max(ts) + INTERVAL '5 minutes' AS sess_end,
+           count(*) AS n_events,
+           {oracle_dsum("value", "session_value")}
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    doc="Per-user session windows (5-minute inactivity gap) — Spark "
+    "session_window; the oracle is the classic gaps-and-islands "
+    "construction (lag + running sum). Session end = last event + gap, "
+    "matching Spark's semantics.",
+    tags=("streaming", "session_window"),
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(load(spark, sf_dir, "events"))
+
+
+@register(
+    "st_earliest_dedup",
+    oracle="""
+    SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="Streaming-dedup semantics in batch: first event per "
+    "(user, event_type) key plus the duplicate count — what "
+    "dropDuplicatesWithinWatermark keeps on a stream (see "
+    "tests/test_streaming.py for the genuine streaming run).",
+    tags=("streaming", "dedup"),
+)
+def st_earliest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("n_dups")
+    )

@@ -1,0 +1,145 @@
+"""Genuine Structured Streaming runs: the same aggregation builders
+used by the batch-mode registry queries are driven through
+readStream → watermark → memory sink, plus stateful ops the batch
+path can't express (dropDuplicatesWithinWatermark,
+applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mathorcup_spark.streaming import windows as sw
+
+SF = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """events re-materialized with micros timestamps (the raw file is
+    TIMESTAMP(NANOS), unreadable by the streaming parquet source)."""
+    from mathorcup_spark.catalog import load
+
+    d = str(tmp_path_factory.mktemp("stream_events"))
+    load(spark, SF, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(spark, event_dir, build, query_name):
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    agg = build(stream.withWatermark("ts", "30 minutes"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {query_name}")
+    finally:
+        q.stop()
+
+
+def test_streaming_tumbling_matches_batch(spark, event_dir):
+    got = _run_stream(spark, event_dir, sw.tumbling_agg, "t_tumbling").collect()
+    want = sw.tumbling_agg(spark.read.parquet(event_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_streaming_session_matches_batch(spark, event_dir):
+    got = _run_stream(spark, event_dir, sw.session_agg, "t_session").collect()
+    want = sw.session_agg(spark.read.parquet(event_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, event_dir):
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT user_id, event_type FROM t_dedup").collect()
+    finally:
+        q.stop()
+    keys = [(r.user_id, r.event_type) for r in got]
+    assert len(keys) == len(set(keys))          # no duplicate keys emitted
+    n_keys = (
+        spark.read.parquet(event_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(keys) == n_keys                   # every key survives once
+
+
+def test_apply_in_pandas_with_state(spark, event_dir):
+    """Custom stateful operator: running per-user event count + value
+    sum maintained in GroupState across micro-batches."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+
+    out_schema = "user_id long, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+    result = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.n, round(r.total, 6))
+            for r in spark.sql(
+                "SELECT user_id, max(n) AS n, max(total) AS total FROM t_state GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
