@@ -4,8 +4,12 @@
 Add new operator modules here as they land (SURVEY.md §7 milestones).
 """
 
-from ..functions import dedup, scalar, similarity, text  # noqa: F401
+from ..functions import dedup, multimodal, scalar, similarity, text  # noqa: F401
+from ..ml import graph_embed, pipelines  # noqa: F401
 from ..operators import graph, metrics, relational, sampling  # noqa: F401
 from ..streaming import windows  # noqa: F401
 
-_ALL = [relational, scalar, metrics, sampling, graph, text, dedup, similarity, windows]
+_ALL = [
+    relational, scalar, metrics, sampling, graph,
+    text, dedup, similarity, multimodal, windows, pipelines, graph_embed,
+]
