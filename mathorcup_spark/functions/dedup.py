@@ -149,14 +149,23 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     shingles = _shingles(words, 3)
-    # minhash_i = min over shingles of xxhash64(salt_i || shingle)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.concat(i.cast("string"), s)))
-        ),
+    # minhash_i = min over shingles of xxhash64(salt_i || shingle).
+    # Explode + 16 min-aggregates, NOT a nested HOF: Catalyst has no
+    # common-subexpression elimination inside lambdas, so the HOF form
+    # rebuilds the shingle array once per salt (16× work — measured
+    # minutes vs seconds at sf0.1). Partial aggregation collapses the
+    # exploded rows map-side; the shuffle carries only
+    # (doc_id, 16 longs) per document.
+    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
     )
-    with_sig = docs.select("doc_id", sig.alias("sig"))
+    with_sig = mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
     rows_per_band = N_HASHES // N_BANDS
     banded = with_sig.select(
         "doc_id",
@@ -217,25 +226,34 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
-    hashed = docs.select(
-        "doc_id", "source", F.transform(words, lambda w: F.xxhash64(w)).alias("hashes")
+    # Explode + 64 per-bit vote sums (map-side partial agg), then OR
+    # the positive bits together — same no-nested-HOF rationale as
+    # d_minhash_lsh. shiftright via F.expr: the Python API rejects a
+    # non-literal shift amount.
+    exploded = docs.select(
+        "doc_id", "source", F.explode(words).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = exploded.groupBy("doc_id", "source").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(h, {i}) & 1L = 1L"), 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
     )
-    # SQL expr, not the Python API: shiftright/shiftleft only accept a
-    # Column shift amount in SQL. Per bit: sum ±1 votes over word
-    # hashes, set the bit iff the vote is positive.
-    simhash = F.expr(
-        """
-        aggregate(
-          zip_with(
-            transform(sequence(0, 63), i ->
-              aggregate(hashes, 0, (acc, h) ->
-                acc + CASE WHEN shiftright(h, i) & 1L = 1L THEN 1 ELSE -1 END)),
-            sequence(0, 63),
-            (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
-          0L, (acc, x) -> acc | x)
-        """
+    simhash = F.aggregate(
+        F.array(
+            *[
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(64)
+            ]
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
     )
-    sh = hashed.select("doc_id", "source", simhash.alias("simhash"))
+    sh = votes.select("doc_id", "source", simhash.alias("simhash"))
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
