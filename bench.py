@@ -36,6 +36,12 @@ HEADLINE = [
     "w_topk_per_group",
     "a_dedup_rows",
     "u_bidirectional_edges",
+    "g_triple_build",
+    "d_minhash_lsh",
+    "d_embedding_neardup",
+    "sim_lsh_ann",
+    "t_text_stats",
+    "st_session_window",
 ]
 
 

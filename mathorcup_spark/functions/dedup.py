@@ -94,22 +94,30 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    # Tokenize before a repartition exchange so the regex split is
+    # evaluated once per row, not once per shingle-lambda reference
+    # (no CSE inside Catalyst lambdas), and the compute-bound shingle
+    # build parallelizes even when the scan is a single small file.
+    wdf = docs.select("doc_id", "source", words.alias("words"))
+    if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        wdf = wdf.repartition("doc_id")
+    wcol = F.col("words")
     # 3-gram shingles via 1-based element_at, mirroring the oracle's
     # range(1, len-1) — both sides produce exactly len-2 shingles
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(wcol) - 2, F.lit(1)))
     # Mirrors the oracle's 1-based range; F.get is 0-based and NULL-safe
     shingles = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ",
-                F.get(words, (i - 1).cast("int")),
-                F.get(words, i.cast("int")),
-                F.get(words, (i + 1).cast("int")),
+                F.get(wcol, (i - 1).cast("int")),
+                F.get(wcol, i.cast("int")),
+                F.get(wcol, (i + 1).cast("int")),
             ),
         )
     )
-    sh = docs.select("doc_id", "source", shingles.alias("shingles"))
+    sh = wdf.select("doc_id", "source", shingles.alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
@@ -148,7 +156,18 @@ N_BANDS = 4  # 4 rows per band
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    shingles = _shingles(words, 3)
+    # Tokenize BEFORE the repartition exchange: the shingle lambda
+    # references the words array ~3x per index, and Catalyst's
+    # CollapseProject would re-inline the regex split into every
+    # reference (no CSE inside lambdas) — the exchange is a barrier
+    # it cannot cross, so the split runs once per row.
+    wdf = docs.select("doc_id", words.alias("words"))
+    if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        # A small parquet file arrives as one partition, serializing
+        # the compute-bound shingle build; at cluster scale the scan
+        # already yields many splits and this branch never fires.
+        wdf = wdf.repartition("doc_id")
+    shingles = _shingles(F.col("words"), 3)
     # minhash_i = min over shingles of xxhash64(salt_i || shingle).
     # Explode + 16 min-aggregates, NOT a nested HOF: Catalyst has no
     # common-subexpression elimination inside lambdas, so the HOF form
@@ -156,7 +175,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minutes vs seconds at sf0.1). Partial aggregation collapses the
     # exploded rows map-side; the shuffle carries only
     # (doc_id, 16 longs) per document.
-    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    exploded = wdf.select("doc_id", F.explode(shingles).alias("shingle"))
     mins = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
@@ -299,3 +318,195 @@ def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars")
     )
+
+
+# --- embedding-cosine near-duplicate detection ------------------------------
+#
+# Own LSH parameters, tuned differently from similarity.py's ANN: 8
+# sign bits x 6 tables. At a production near-dup threshold (cosine
+# >= 0.9, per-bit collision p ~ 0.86) that is ~87% recall; the extra
+# bits keep buckets selective so the candidate join stays far from
+# quadratic. The test threshold 0.35 marks the "suspiciously similar"
+# tail of the synthetic embeddings (max pairwise cosine ~0.51) so the
+# query returns rows at every scale factor; the operator shape is
+# identical at any tau.
+NEARDUP_TAU = 0.35
+ND_BITS = 8
+ND_TABLES = 6
+
+# DuckDB mirror of the Spark bucket expression below (same
+# deterministic multiplicative-hash hyperplanes as similarity.py,
+# global plane index j = t*ND_BITS + b).
+_ND_BUCKET_SQL = f"""
+      list_reduce(
+        list_transform(range(0, {ND_BITS}), b -> CASE WHEN
+          list_sum(list_transform(range(0, 64), d ->
+            CAST(embedding[d + 1] AS DOUBLE) *
+            (CAST((((t * {ND_BITS} + b) * 64 + d) * 2654435761 % 1000003) AS DOUBLE)
+             / 1000003 - 0.5)))
+          > 0 THEN (1 << b) ELSE 0 END),
+        (a, b) -> a | b)
+"""
+
+
+def _register_embedding_neardup() -> None:
+    from .similarity import _A, _M
+
+    @register(
+        "d_embedding_neardup",
+        oracle=f"""
+        WITH b AS (
+          SELECT vec_id, t, {_ND_BUCKET_SQL} AS bucket,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings, range(0, {ND_TABLES}) r(t)
+        ), n AS (
+          SELECT vec_id, t, bucket,
+                 list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+          FROM b
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM n a JOIN n c
+            ON c.t = a.t AND c.bucket = a.bucket AND c.vec_id > a.vec_id
+        ), scored AS (
+          SELECT cand.vec_a, cand.vec_b,
+                 round(CAST(list_dot_product(a.u, c.u) AS DOUBLE), 6) AS cosine
+          FROM cand
+          JOIN (SELECT DISTINCT vec_id, u FROM n) a ON a.vec_id = cand.vec_a
+          JOIN (SELECT DISTINCT vec_id, u FROM n) c ON c.vec_id = cand.vec_b
+        )
+        SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_TAU}
+        """,
+        doc="Embedding-cosine near-duplicate pairs (SURVEY.md SS2.13): "
+        "candidate pairs collide in any of 6 sign-LSH tables of 8 bits "
+        "(equi-join on (table, bucket) -- never an all-pairs crossJoin), "
+        "then one exact dot product over pre-unit-normalized vectors "
+        "confirms cosine >= tau. The 48 hyperplane projections are "
+        "computed as posexplode + partial sum-aggregation (whole-stage "
+        "codegen), not nested HOF lambdas (interpreted, ~10x slower); "
+        "pair scoring is an Arrow-batched pandas UDF with dimension-"
+        "order-preserving accumulation so results stay bit-identical "
+        "to the sequential-fold oracle. Pair order vec_a < vec_b "
+        "halves the candidate set.",
+        tags=("dedup", "embedding", "lsh"),
+    )
+    def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+            # single small parquet file -> one task; the plane-dot agg is
+            # compute-bound, spread it. At cluster scale the scan already
+            # has many splits and this never fires. Partitioning on the
+            # group key also lets Catalyst elide the groupBy exchange.
+            emb = emb.repartition("vec_id")
+
+        # 48 hyperplane dots per vector in ONE codegen pass:
+        # posexplode to (vec_id, d, x), then sum(x * w(j,d)) per global
+        # plane j. Partial aggregation collapses map-side; a vector's
+        # rows stay contiguous in their partition, so each sum
+        # accumulates in dimension order — float-identical to the
+        # oracle's sequential list_sum fold.
+        ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        d = F.col("d").cast("long")
+
+        def plane_w(j: int):
+            return ((F.lit(j) * 64 + d) * _A % _M).cast("double") / _M - 0.5
+
+        dots = ex.groupBy("vec_id").agg(
+            *[
+                F.sum(F.col("x").cast("double") * plane_w(j)).alias(f"p{j}")
+                for j in range(ND_TABLES * ND_BITS)
+            ]
+        )
+
+        # bucket of table t = OR of sign bits; the bits are disjoint
+        # powers of two so plain + is the OR — pure codegen expressions
+        def bucket_expr(t: int):
+            e = F.lit(0)
+            for b in range(ND_BITS):
+                e = e + F.when(
+                    F.col(f"p{t * ND_BITS + b}") > 0, F.lit(1 << b)
+                ).otherwise(0)
+            return e
+
+        tables = dots.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("t"), bucket_expr(t).alias("bucket"))
+                        for t in range(ND_TABLES)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("vec_id", "tb.t", "tb.bucket")
+
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        unit = emb.withColumn(
+            "e", F.transform("embedding", lambda x: x.cast("double"))
+        ).select("vec_id", F.transform("e", lambda x: x / nrm).alias("u"))
+
+        a = tables.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+        c = tables.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("t").alias("ct"),
+            F.col("bucket").alias("cb"),
+        )
+        cand = (
+            a.join(
+                c,
+                (F.col("t") == F.col("ct"))
+                & (F.col("bucket") == F.col("cb"))
+                & (F.col("vec_b") > F.col("vec_a")),
+            )
+            .select("vec_a", "vec_b")
+            .dropDuplicates()
+        )
+        # Arrow-batched pair scoring: at sf0.1 the candidate set is
+        # ~100k pairs; an interpreted zip_with/aggregate fold costs
+        # ~30s where this vectorized UDF takes <1s. The loop accumulates
+        # dimension-by-dimension (64 vectorized adds), preserving the
+        # left-to-right summation order of the oracle's sequential fold
+        # so the rounded cosines stay bit-identical.
+        import numpy as np
+        import pandas as pd
+
+        def _pair_dot_fn(ua, ub):
+            if len(ua) == 0:
+                return pd.Series([], dtype="float64")
+            A = np.vstack(ua.to_numpy())
+            B = np.vstack(ub.to_numpy())
+            acc = np.zeros(len(A))
+            for dim in range(A.shape[1]):
+                acc = acc + A[:, dim] * B[:, dim]
+            return pd.Series(acc)
+
+        # real type objects, not strings: `from __future__ import
+        # annotations` would leave pandas_udf unable to infer the
+        # scalar eval type from stringified hints
+        _pair_dot_fn.__annotations__ = {
+            "ua": pd.Series,
+            "ub": pd.Series,
+            "return": pd.Series,
+        }
+        _pair_dot = F.pandas_udf(_pair_dot_fn, "double")
+
+        scored = (
+            cand.join(
+                unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")),
+                "vec_a",
+            )
+            .join(
+                unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")),
+                "vec_b",
+            )
+            .select(
+                "vec_a", "vec_b", F.round(_pair_dot("ua", "ub"), 6).alias("cosine")
+            )
+        )
+        return scored.filter(F.col("cosine") >= NEARDUP_TAU)
+
+
+_register_embedding_neardup()

@@ -538,6 +538,37 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_argmax_per_row",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_position(e, list_max(e)) - 1 AS BIGINT) AS argmax_class,
+           list_max(e) AS max_score
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings)
+    """,
+    doc="W2: per-row argmax over an array of class scores — the "
+    "reference's torch.argmax(logits, dim=1) for year/month/day heads "
+    "(src/evaluate.py:237-247). array_position(arr, array_max(arr))-1 "
+    "gives the 0-based class id; first occurrence wins ties on both "
+    "engines. Pure per-row expression: no shuffle, whole-stage codegen.",
+    tags=("W2",),
+)
+def w_argmax_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("e", F.transform("embedding", lambda x: x.cast("double")))
+        .select(
+            "vec_id",
+            (F.expr("array_position(e, array_max(e))") - 1)
+            .cast("long")
+            .alias("argmax_class"),
+            F.array_max("e").alias("max_score"),
+        )
+    )
+
+
+@register(
     "w_running_agg",
     oracle="""
     SELECT user_id, event_id,
