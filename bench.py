@@ -40,6 +40,10 @@ HEADLINE = [
     "d_minhash_lsh",
     "d_embedding_neardup",
     "sim_lsh_ann",
+    "sim_ivf_ann",
+    "j_asof_join",
+    "j_range_join",
+    "a_rollup_subtotals",
     "t_text_stats",
     "st_session_window",
 ]

@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..registry import davg, dsum, oracle_davg, oracle_dsum, register
+from ..registry import DEC, davg, dsum, oracle_davg, oracle_dsum, register
 
 # ---------------------------------------------------------------------------
 # Flagship (Milestone 0): scan → filter → join → derive → agg → sort.
@@ -685,3 +685,108 @@ def u_bidirectional_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mirrored = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return edges.unionByName(mirrored)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregates: rollup / cube / pivot. Not in the
+# reference (SURVEY.md §2.4 notes no grouping sets anywhere) — free
+# Spark built-ins declared for engine completeness. Same partial-agg +
+# single-shuffle shape as a plain groupBy: the grouping-set expansion
+# happens map-side before the exchange.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_rollup_subtotals",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           {oracle_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP hierarchy subtotals over orders: (priority, status), "
+    "(priority), and grand total in one pass. gid disambiguates real "
+    "NULL keys from subtotal rows, matching GROUPING() semantics on "
+    "both engines. One shuffle; map-side partials cover all grouping "
+    "sets.",
+    tags=("rollup", "agg"),
+)
+def a_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        (F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus"))
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register(
+    "a_cube_all_combos",
+    oracle=f"""
+    SELECT o_orderstatus, order_year,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(order_year)
+                AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           {oracle_dsum("o_totalprice", "total_price")}
+    FROM (SELECT o_orderstatus, o_totalprice,
+                 CAST(year(o_orderdate) AS BIGINT) AS order_year
+          FROM orders)
+    GROUP BY CUBE (o_orderstatus, order_year)
+    """,
+    doc="CUBE over (status, order year): all four grouping sets in one "
+    "pass — the OLAP dashboard shape. Same single-shuffle posture as "
+    "ROLLUP.",
+    tags=("cube", "agg"),
+)
+def a_cube_all_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    return orders.cube("o_orderstatus", "order_year").agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("order_year"))
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register(
+    "a_pivot_event_values",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+           CAST(sum(CASE WHEN event_type = 'view'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot: per-user event_type → column matrix of summed values. "
+    "Pivot values are declared explicitly so Spark skips the extra "
+    "distinct-scan pass and the plan stays a single groupBy with "
+    "pivot-expanded partial aggregates. Oracle is the equivalent "
+    "CASE-WHEN aggregate (decimal-summed for order-independence).",
+    tags=("pivot", "agg"),
+)
+def a_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    piv = ["click", "view", "purchase", "signup", "error"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", piv)
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
+    )
