@@ -508,3 +508,49 @@ def s_tsv_parse_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.get(F.col("f"), 2), F.lit("0")).cast("long").alias("regionkey"),
         )
     )
+
+
+@register(
+    "f_cyclic_time_features",
+    oracle="""
+    SELECT o_orderkey,
+           round(sin(2 * pi() * (CAST(month(o_orderdate) AS DOUBLE) - 1) / 12), 9)
+             + 0.0 AS month_sin,
+           round(cos(2 * pi() * (CAST(month(o_orderdate) AS DOUBLE) - 1) / 12), 9)
+             + 0.0 AS month_cos,
+           round(sin(2 * pi() * (CAST(day(o_orderdate) AS DOUBLE) - 1) / 31), 9)
+             + 0.0 AS day_sin,
+           round(cos(2 * pi() * (CAST(day(o_orderdate) AS DOUBLE) - 1) / 31), 9)
+             + 0.0 AS day_cos
+    FROM orders
+    """,
+    doc="M5 (time-feature embedding, Spark-first): the reference sums "
+    "learned year/month/day id embeddings (src/model/embedding.py:4-26); "
+    "the feature-engineering analog is cyclic sin/cos encoding of the "
+    "date parts — December lands next to January instead of 11 apart, "
+    "with no training step. Pure per-row codegen expressions; rounded "
+    "to 9 decimals (+0.0 to squash negative zero) so libm vs "
+    "java.lang.Math ulp differences cannot surface.",
+    tags=("M5", "F3", "features"),
+)
+def f_cyclic_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = load(spark, sf_dir, "orders")
+    two_pi = F.lit(2 * math.pi)
+
+    def cyc(part: F.Column, period: int, fn, alias: str) -> F.Column:
+        angle = two_pi * (part.cast("double") - 1) / period
+        # + 0.0 normalizes IEEE negative zero (cos(3*pi/2) rounds to
+        # -0.0 on one engine, 0.0 on the other, flipping sort order)
+        return (F.round(fn(angle), 9) + F.lit(0.0)).alias(alias)
+
+    month = F.month("o_orderdate")
+    day = F.dayofmonth("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        cyc(month, 12, F.sin, "month_sin"),
+        cyc(month, 12, F.cos, "month_cos"),
+        cyc(day, 31, F.sin, "day_sin"),
+        cyc(day, 31, F.cos, "day_cos"),
+    )

@@ -790,3 +790,65 @@ def a_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", piv)
         .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
     )
+
+
+@register(
+    "j_salted_skew_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {oracle_dsum("l.l_extendedprice", "gross_revenue")},
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Manually salted skew join: the fact side gets a deterministic "
+    "salt (xxhash64 mod 8), the build side is replicated once per salt "
+    "value via explode, and the join runs on (key, salt) — splitting "
+    "any hot key's rows across 8 shuffle partitions. Result is "
+    "identical to the plain join (oracle proves it); the pattern is "
+    "the manual fallback for skew that AQE's skew-join splitting "
+    "cannot reach (e.g. skewed build side, or aggregation-after-join "
+    "hot keys). 8x replication of the smaller side is the explicit, "
+    "bounded cost.",
+    tags=("join", "skew", "salt"),
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)).cast("int"),
+    )
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == orders["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum("l_extendedprice", "gross_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "a_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines; accuracy is
+    # asserted in tests against the exact count (rows-only here)
+    doc="approx_count_distinct (HyperLogLog++) per event_type: the "
+    "constant-memory cardinality path for 100 TB — one pass, no "
+    "distinct shuffle, mergeable sketches. tests/ asserts <5% error "
+    "vs the exact count; the driver records a rows-only check since "
+    "sketch estimates are engine-specific.",
+    tags=("agg", "approx"),
+)
+def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
