@@ -14,6 +14,7 @@ gets a full oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -149,4 +150,62 @@ def r_random_split_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey", (F.rand(42) < 0.7).alias("is_train")
+    )
+
+
+@register(
+    "r_subgraph_relabel",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+      FROM lineitem WHERE l_quantity >= 49
+    ), n AS (
+      SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS local_id
+      FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+    )
+    SELECT e.src, e.dst, ns.local_id AS src_local, nd.local_id AS dst_local
+    FROM e
+    JOIN n ns ON ns.node = e.src
+    JOIN n nd ON nd.node = e.dst
+    """,
+    doc="R5: subgraph extraction + compact id relabel — the reference's "
+    "np.unique(..., return_inverse=True) over sampled edge endpoints "
+    "(src/samples.py:40-47). The edge predicate stands in for the "
+    "random sample (R3 covers seeded sampling) so the relabel is "
+    "oracle-checkable: distinct endpoint union -> dense ids via "
+    "row_number over the node order (the E1 deterministic-encoding "
+    "semantics, SURVEY §4.2), joined back to the edges. The global "
+    "window is bounded by the *sampled subgraph's* node count — the "
+    "operator runs after sampling by construction, so the single-"
+    "partition rank never sees full-graph cardinality; for full-graph "
+    "encoding use the mapping-table join of e_dictionary_build.",
+    tags=("R5", "G1"),
+)
+def r_subgraph_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .dropDuplicates()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    mapping = nodes.withColumn(
+        "local_id", (F.row_number().over(W.orderBy("node")) - 1).cast("long")
+    )
+    return (
+        edges.join(
+            F.broadcast(mapping.select(F.col("node").alias("src"),
+                                       F.col("local_id").alias("src_local"))),
+            "src",
+        )
+        .join(
+            F.broadcast(mapping.select(F.col("node").alias("dst"),
+                                       F.col("local_id").alias("dst_local"))),
+            "dst",
+        )
+        .select("src", "dst", "src_local", "dst_local")
     )
