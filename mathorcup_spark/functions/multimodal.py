@@ -161,3 +161,111 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int"
+)
+
+
+@register(
+    "mm_resize_plan",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents
+    ), meta AS (
+      SELECT doc_id, CAST(n % 640 AS INTEGER) AS width,
+             CAST((n // 7) % 480 AS INTEGER) AS height
+      FROM sized WHERE n % 2 = 0
+    )
+    SELECT doc_id, width, height,
+           CAST(floor(width  * (224.0 / greatest(width, height, 1))) AS INTEGER) AS out_w,
+           CAST(floor(height * (224.0 / greatest(width, height, 1))) AS INTEGER) AS out_h
+    FROM meta
+    """,
+    doc="Image resize stage (fit longest side to 224): decode metadata "
+    "(mapInPandas stage 1) chained into a second Arrow-batched "
+    "mapInPandas stage that computes the target geometry with numpy — "
+    "the exact plumbing a real pixel resize runs through (swap the "
+    "geometry arithmetic for PIL/cv2 on the payload bytes); batch "
+    "shape, schema, and chaining are real and oracle-checked via the "
+    "deterministic fake decode. Scale math stays in IEEE doubles so "
+    "numpy and DuckDB floor identically.",
+    tags=("multimodal", "mapInPandas", "resize"),
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    meta = decode_pipeline(with_binary_payload(docs)).filter(
+        F.col("modality") == "image"
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype="int64")
+            h = pdf["height"].to_numpy(dtype="int64")
+            scale = 224.0 / np.maximum(np.maximum(w, h), 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": np.floor(w * scale).astype("int32"),
+                    "out_h": np.floor(h * scale).astype("int32"),
+                }
+            )
+
+    return meta.select("doc_id", "width", "height").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+      FROM documents
+    ), meta AS (
+      SELECT doc_id, n, CAST(n % 30 + 1 AS INTEGER) AS n_frames
+      FROM sized WHERE n % 2 = 1
+    )
+    SELECT m.doc_id, CAST(t.f AS INTEGER) AS frame_idx,
+           CAST(t.f * (m.n // m.n_frames) AS BIGINT) AS byte_offset
+    FROM meta m JOIN generate_series(0, 29, 5) t(f) ON t.f < m.n_frames
+    """,
+    doc="Frame sampling (every 5th frame of audio/video payloads): the "
+    "1-to-N row expansion is a JVM-side explode(sequence(...)) over "
+    "the decoded frame count — no Python in the expansion itself; a "
+    "real decoder would then fetch each sampled frame's bytes in a "
+    "downstream mapInPandas (the mm_resize_plan stage shape). "
+    "byte_offset = frame_idx * frame_stride demonstrates the typed "
+    "pointer-into-payload output a trainer consumes.",
+    tags=("multimodal", "framesample"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    meta = decode_pipeline(with_binary_payload(docs)).filter(
+        F.col("modality") == "audio"
+    )
+    return (
+        meta.select(
+            "doc_id",
+            F.col("n_bytes").cast("long").alias("n"),
+            F.col("n_frames"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))
+            ).alias("f"),
+        )
+        .select(
+            "doc_id",
+            F.col("f").cast("int").alias("frame_idx"),
+            (F.col("f") * F.expr("n div n_frames")).cast("long").alias("byte_offset"),
+        )
+    )
