@@ -114,3 +114,34 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("b_ts").alias("n_next_5min"))
     )
+
+
+@register(
+    "w_lag_gap",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts)
+             AS next_gap_us
+    FROM events
+    """,
+    doc="lag/lead frame windows (SURVEY §2.5 notes the reference has "
+    "none — declared as free Spark built-ins): per-user inter-event "
+    "gaps in microseconds, NULL at partition edges. Gap-in-epoch-"
+    "micros keeps the arithmetic in BIGINT on both engines; ties "
+    "broken by event_id so the ordering is total and deterministic. "
+    "One shuffle on user_id, sort within partitions only.",
+    tags=("window", "lag", "temporal"),
+)
+def w_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        (F.lead(us).over(w) - us).alias("next_gap_us"),
+    )
