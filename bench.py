@@ -30,6 +30,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one per workload family (scan-agg, join-agg, window,
 # dedup/graph shapes). Grows as milestones land.
 HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
     "a_grouped_multi_agg",
     "flagship_revenue_by_priority",
     "j_broadcast_inner",
