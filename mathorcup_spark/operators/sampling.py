@@ -34,24 +34,57 @@ _HASH_A = 2654435761
       FROM orders) WHERE pr < 0.7
     """,
     doc="R2: ordered 70/30 head split — reference loc[:train_len] over a "
-    "stable order (src/samples.py:106-117). percent_rank over the total "
-    "order; NOTE this is inherently a global-order op (single-partition "
-    "window) — kept for reference parity; the scalable split is "
-    "r_random_split (randomSplit).",
+    "stable order (src/samples.py:106-117). Implemented as a DISTRIBUTED "
+    "global row-number: repartitionByRange on the key, per-partition "
+    "counts -> cumulative offsets (one tiny collect), then "
+    "row_number within each range partition + offset. No single-"
+    "partition window at any scale; Catalyst's ReuseExchange makes the "
+    "counts pass and the rank pass share one shuffle. The boundary "
+    "index k replicates DuckDB's percent_rank(<0.7) IEEE arithmetic "
+    "exactly (binary search over (r)/(n-1) in doubles).",
     tags=("R2", "P7"),
 )
 def r_ordered_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = orders.count()
+    if n <= 1:
+        return orders  # percent_rank is 0 for a single row: 0 < 0.7 keeps it
+    # k = #rows whose percent_rank (rank-1)/(n-1) < 0.7, using the same
+    # IEEE double division the oracle performs (not k = 0.7*n, which can
+    # disagree at the boundary).
+    lo, hi = 0, n  # smallest r in [0, n) with r/(n-1) >= 0.7
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if mid / (n - 1) >= 0.7:
+            hi = mid
+        else:
+            lo = mid + 1
+    k = lo  # ranks 1..k survive
+
+    ranged = orders.repartitionByRange("o_orderkey").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )  # window over #partitions rows, not data rows
     return (
-        orders.select(
-            "o_orderkey",
-            "o_totalprice",
-            F.percent_rank().over(W.orderBy("o_orderkey")).alias("pr"),
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_rank",
+            F.row_number().over(W.partitionBy("_pid").orderBy("o_orderkey"))
+            + F.col("_off"),
         )
-        .filter(F.col("pr") < 0.7)
-        .drop("pr")
+        .filter(F.col("_rank") <= k)
+        .select("o_orderkey", "o_totalprice")
     )
 
 
