@@ -207,6 +207,92 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                 AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 promo revenue: conditional-aggregate ratio — two "
+    "decimal-exact sums in one pass over a month of shipments joined "
+    "to part, divided in double only at the end. The month filter "
+    "prunes lineitem row groups before the join; part is broadcast "
+    "(it stays dim-sized relative to lineitem at every SF).",
+    tags=("tpch", "A1", "P8"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(
+                F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0),
+                "promo",
+            ),
+            dsum(disc_price, "total"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS tot_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, tot_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 large-volume orders: aggregate-then-filter (HAVING) "
+    "on the fact table, then join the surviving keys to orders and "
+    "customer. The heavy groupBy(l_orderkey) shuffles once and the "
+    "HAVING cut happens before any join, so only qualifying orders "
+    "(~0.5%) flow downstream; the top-100 is TakeOrderedAndProject "
+    "with a unique-key tiebreak.",
+    tags=("tpch", "A16", "W4"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "tot_qty"))
+        .filter(F.col("tot_qty") > 150)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "tot_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
     "tpch_q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
