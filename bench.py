@@ -35,6 +35,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "a_grouped_multi_agg",
     "flagship_revenue_by_priority",
     "j_broadcast_inner",
