@@ -48,13 +48,21 @@ EXPECT: dict[str, dict] = {
     "tpch_q5_local_supplier_volume": {"pushed": "o_orderdate", "broadcast": 1},
     "tpch_q6_revenue_forecast": {"pushed": "l_discount"},
     "tpch_q10_returned_items": {"pushed": "l_returnflag", "broadcast": 1},
+    "tpch_q14_promo_revenue": {"pushed": "l_shipdate", "broadcast": 1},
+    "tpch_q18_large_orders": {},
+    # distributed global row-number: must show NO single-partition
+    # window (the whole point of the rewrite)
+    "r_ordered_split_train": {},
     "flagship_revenue_by_priority": {"pushed": "l_shipdate"},
     "j_broadcast_inner": {"broadcast": 1},
     "j_filtered_inner": {"pushed": "IsNotNull"},
     "w_topk_per_group": {},
     "a_grouped_multi_agg": {},
     "a_dedup_rows": {},
-    "g_triple_build": {},
+    # dictionary id assignment ranks the DISTINCT domain (bounded:
+    # categorical values), not the data — the single-partition window
+    # over that tiny set is deliberate (SURVEY §4.2 item 2).
+    "g_triple_build": {"single_partition_ok": True},
     "j_asof_join": {},
     "j_range_join": {},
     "d_minhash_lsh": {},
@@ -82,6 +90,8 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
         errs.append("nested-loop join in plan")
     if "codegen id :" not in plan:
         errs.append("no whole-stage-codegen span (no [codegen id] markers)")
+    if "Exchange SinglePartition" in plan and not exp.get("single_partition_ok"):
+        errs.append("single-partition exchange (global window/sort) in plan")
     if "pushed" in exp:
         pushed_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
         if not any(exp["pushed"] in ln for ln in pushed_lines):
