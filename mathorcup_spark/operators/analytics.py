@@ -207,6 +207,46 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), cohort AS (
+      SELECT user_id, min(d) AS cohort_d FROM activity GROUP BY user_id
+    )
+    SELECT cohort_d, CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT activity.user_id) AS BIGINT) AS n_users
+    FROM activity JOIN cohort ON activity.user_id = cohort.user_id
+    GROUP BY cohort_d, day_offset
+    ORDER BY cohort_d, day_offset
+    """,
+    doc="Cohort retention over the events stream table: first-seen date "
+    "per user defines the cohort; count distinct active users per "
+    "(cohort, day offset). Both aggregations and the join hash on "
+    "user_id, so the cohort build and the join reuse one shuffle "
+    "partitioning; the (user, date) distinct collapses raw events "
+    "map-side before anything wide. The classic product-analytics "
+    "query a 100 TB event lake runs daily.",
+    tags=("events-analytics", "A16", "F6"),
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_d",
+            F.datediff("d", "cohort_d").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_d", "day_offset")
+    )
+
+
+@register(
     "tpch_q14_promo_revenue",
     oracle="""
     SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
