@@ -247,6 +247,53 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.st
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    doc="Ordered funnel (signup → later click → later purchase): each "
+    "stage is a min-timestamp aggregate per user joined to the "
+    "previous stage with a strict time inequality. Every join and "
+    "groupBy hashes on user_id, so one partitioning serves the whole "
+    "funnel; stage populations only shrink, so data volume falls "
+    "monotonically down the pipeline — the shape scales to arbitrary "
+    "event history.",
+    tags=("events-analytics", "F6", "A16"),
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_ts: str, alias: str):
+        e = events.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(alias))
+
+    s = first_after("signup", None, "", "st")
+    c = first_after("click", s, "st", "ct")
+    p = first_after("purchase", c, "ct", "pt")
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@register(
     "tpch_q14_promo_revenue",
     oracle="""
     SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
