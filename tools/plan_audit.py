@@ -72,6 +72,11 @@ EXPECT: dict[str, dict] = {
     "sim_ivf_ann": {"bnlj_ok": True},
     "t_text_stats": {},
     "st_session_window": {},
+    "ev_cohort_retention": {},
+    # the three single-row stage counts are combined with crossJoins
+    # of 1-row aggregates — BroadcastNestedLoopJoin over single rows
+    # is the correct (and only) plan for scalar assembly
+    "ev_funnel_conversion": {"bnlj_ok": True},
 }
 
 
