@@ -36,6 +36,17 @@ HEADLINE = [
     "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
     "a_grouped_multi_agg",
     "flagship_revenue_by_priority",
     "j_broadcast_inner",

@@ -1,0 +1,583 @@
+"""Remaining TPC-H query shapes, adapted to the driver's star schema.
+
+Beyond-survey surface (SURVEY §2.3 note: "the engine still gets
+[semi/anti/outer joins] ~free from Spark — declare them"). The driver
+tables omit partsupp and several lineitem columns, so the queries
+that need them are *adapted*: the join topology, subquery shape, and
+aggregate discipline match the TPC-H original; predicates are moved
+to columns that exist (noted per query). Everything is written for
+100 TB posture:
+
+- EXISTS / NOT EXISTS become ``left_semi`` / ``left_anti`` joins
+  (Q4, Q22) or a single pre-aggregated per-group profile joined once
+  (Q21) — never a correlated per-row re-scan.
+- Scalar subqueries (Q15 max, Q17 per-part mean, Q22 global mean)
+  are computed once and broadcast; thresholds derive from
+  decimal-exact sums so both engines compare identical doubles.
+- All double sums go through ``registry.dsum`` (order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import davg, dsum, oracle_davg, oracle_dsum, register
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 order-priority checking (adapted: the EXISTS "
+    "predicate tests a returned lineitem instead of the absent "
+    "l_commitdate < l_receiptdate). The correlated EXISTS becomes a "
+    "left-semi join — lineitem is filtered and projected to the join "
+    "key only before the shuffle, and semi-join semantics dedup "
+    "multi-match orders without a distinct.",
+    tags=("tpch", "J5", "A16"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {oracle_dsum("volume", "revenue")}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 volume shipping: bilateral trade volume between two "
+    "nations by year. Both nation lookups broadcast; the symmetric "
+    "pair predicate is applied after the joins as a residual, and the "
+    "two-year shipdate range is pushed into the lineitem scan. "
+    "customer⋈orders⋈lineitem shuffle on their natural keys.",
+    tags=("tpch", "J1", "F3"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume
+                     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 national market share: one supplier nation's share "
+    "of ECONOMY-part revenue sold into AMERICA, by order year. The "
+    "part-type filter prunes the fact side through the broadcast "
+    "part join; both sums are decimal-exact so the final double "
+    "division is engine-identical. Eight-table join, all dims "
+    "broadcast, facts shuffle once per key.",
+    tags=("tpch", "J1", "P8", "F3"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nations), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(
+                F.when(F.col("nation") == "NATION_5", volume).otherwise(0.0),
+                "nation_vol",
+            ),
+            dsum(volume, "total_vol"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year, {oracle_dsum("amount", "sum_profit")}
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 product-type profit (adapted: no partsupp table, so "
+    "unit cost is proxied as 0.6 * p_retailprice instead of "
+    "ps_supplycost). Profit per supplier nation per order year over "
+    "parts matching a name pattern; the LIKE prunes part before the "
+    "broadcast, amount is per-row double arithmetic (deterministic) "
+    "summed through decimal.",
+    tags=("tpch", "J1", "F9"),
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 customer order-count distribution: left-outer join "
+    "keeps order-less customers (count 0), then a second aggregation "
+    "histograms the per-customer counts. The outer join and first "
+    "groupBy share the c_custkey/o_custkey hash partitioning, so the "
+    "count piggybacks on the join shuffle; the histogram reduces to "
+    "at most a few hundred groups regardless of scale.",
+    tags=("tpch", "A16", "A7"),
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {oracle_dsum("l_extendedprice * (1 - l_discount)",
+                          "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: quarterly revenue per supplier, then "
+    "the scalar-subquery max selects the leader(s). The revenue "
+    "aggregate is computed once and reused for both the max and the "
+    "final filter (Spark reuses the shuffle via the shared DataFrame "
+    "subplan); equality on a decimal-derived double is exact, so the "
+    "tie semantics match DuckDB bit-for-bit.",
+    tags=("tpch", "A1", "W3"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    revenue = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 supplier-part relationship count (adapted: the "
+    "part↔supplier relation comes from lineitem since partsupp is "
+    "absent). Negated predicates (<>, NOT LIKE) and the IN-list prune "
+    "part before the broadcast join; count(DISTINCT) expands to a "
+    "two-phase aggregate — dedup on (group, suppkey) map-side, then "
+    "count — so no per-group set materializes on one node.",
+    tags=("tpch", "A5", "A16"),
+)
+def tpch_q16_supplier_part_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey, {oracle_davg("l_quantity", "avg_qty")}
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#11' AND l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 small-quantity-order revenue: the correlated "
+    "per-part average-quantity subquery becomes a groupBy(l_partkey) "
+    "aggregate joined back to lineitem — one extra shuffle instead of "
+    "a per-row re-scan. The 0.2·avg threshold derives from a "
+    "decimal-exact mean, so the strict inequality cuts identical rows "
+    "on both engines.",
+    tags=("tpch", "A1", "J4"),
+)
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+             .cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 discounted revenue (adapted: shipmode/shipinstruct "
+    "legs dropped — predicates use brand, size, quantity). The "
+    "OR-of-ANDs predicate spans both tables, so Catalyst derives the "
+    "single-table implications (brand IN (...) onto part, quantity "
+    "BETWEEN 1 AND 30 onto lineitem) and pushes them into each scan "
+    "while the full disjunction evaluates after the broadcast join.",
+    tags=("tpch", "P8", "J1"),
+)
+def tpch_q19_discounted_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    leg = lambda brand, max_size, lo, hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, max_size)
+        & q.between(lo, hi)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            leg("Brand#11", 15, 1, 11)
+            | leg("Brand#22", 10, 10, 20)
+            | leg("Brand#16", 5, 20, 30)
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 suppliers who kept orders waiting (adapted: "
+    "'late' = l_returnflag = 'R' since receipt/commit dates are "
+    "absent). The EXISTS/NOT EXISTS pair — another supplier "
+    "participated, but no other supplier's item was returned — is "
+    "computed as ONE aggregate profile per order (distinct supplier "
+    "count, distinct returned-supplier count) joined back: two "
+    "correlated subqueries collapse into a single extra shuffle, the "
+    "scalable rewrite of the textbook double self-join.",
+    tags=("tpch", "J5", "A8", "W4"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # one pass over lineitem profiles each order: how many distinct
+    # suppliers touched it, how many distinct suppliers had returns.
+    order_profile = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(order_profile, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+    SELECT c_nationkey, count(*) AS numcust,
+           {oracle_dsum("c_acctbal", "totacctbal")}
+    FROM customer
+    WHERE c_acctbal > (SELECT {oracle_davg("c_acctbal", "x")}
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 global sales opportunity (adapted: grouped by "
+    "c_nationkey — there is no phone column to derive country codes "
+    "from — and 'never ordered' loosened to 'no order since 1999' "
+    "because the generator gives every customer at least one order). "
+    "Rich customers (balance above the positive-balance global mean, "
+    "decimal-exact on both engines) who lapsed: the NOT EXISTS is a "
+    "left-anti join against the filtered orders key projection, and "
+    "the scalar mean broadcasts as a one-row cross join.",
+    tags=("tpch", "J5", "U2", "A1"),
+)
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

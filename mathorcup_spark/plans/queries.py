@@ -6,10 +6,19 @@ Add new operator modules here as they land (SURVEY.md §7 milestones).
 
 from ..functions import dedup, multimodal, scalar, similarity, text  # noqa: F401
 from ..ml import graph_embed, pipelines  # noqa: F401
-from ..operators import analytics, graph, metrics, relational, sampling, temporal  # noqa: F401
+from ..operators import (  # noqa: F401
+    analytics,
+    graph,
+    metrics,
+    relational,
+    sampling,
+    temporal,
+    tpch_more,
+)
 from ..streaming import windows  # noqa: F401
 
 _ALL = [
     relational, scalar, metrics, sampling, graph, temporal, analytics,
-    text, dedup, similarity, multimodal, windows, pipelines, graph_embed,
+    tpch_more, text, dedup, similarity, multimodal, windows, pipelines,
+    graph_embed,
 ]

@@ -50,6 +50,23 @@ EXPECT: dict[str, dict] = {
     "tpch_q10_returned_items": {"pushed": "l_returnflag", "broadcast": 1},
     "tpch_q14_promo_revenue": {"pushed": "l_shipdate", "broadcast": 1},
     "tpch_q18_large_orders": {},
+    "tpch_q4_order_priority": {"pushed": "o_orderdate"},
+    "tpch_q7_volume_shipping": {"pushed": "l_shipdate", "broadcast": 2},
+    "tpch_q8_market_share": {"pushed": "o_orderdate", "broadcast": 2},
+    "tpch_q9_product_type_profit": {"pushed": "p_name", "broadcast": 2},
+    "tpch_q13_customer_distribution": {},
+    # scalar max / global mean joined conditionlessly to a 1-row
+    # aggregate — BroadcastNestedLoopJoin over one row is the intended
+    # scalar-subquery plan
+    "tpch_q15_top_supplier": {"pushed": "l_shipdate", "bnlj_ok": True},
+    "tpch_q16_supplier_part_count": {"pushed": "p_size", "broadcast": 1},
+    "tpch_q17_small_quantity_revenue": {"pushed": "p_brand", "broadcast": 1},
+    "tpch_q19_discounted_revenue": {"pushed": "IsNotNull", "broadcast": 1},
+    "tpch_q21_waiting_supplier": {"pushed": "l_returnflag", "broadcast": 1},
+    "tpch_q22_global_sales_opportunity": {
+        "pushed": "o_orderdate",
+        "bnlj_ok": True,
+    },
     # distributed global row-number: must show NO single-partition
     # window (the whole point of the rewrite)
     "r_ordered_split_train": {},
