@@ -36,7 +36,11 @@ HEADLINE = [
     "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
+    "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q20_excess_volume_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",

@@ -27,6 +27,76 @@ from ..registry import davg, dsum, oracle_davg, oracle_dsum, register
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_size <= 10 AND p_type = 'STANDARD')
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey AS b_partkey, min(unit_cost) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+    FROM costs
+    JOIN best ON l_partkey = b_partkey AND unit_cost = min_cost
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier (adapted: the part↔supplier "
+    "relation and unit cost come from lineitem — unit_cost = "
+    "min(l_extendedprice / l_quantity) — since partsupp is absent). "
+    "The correlated min-cost subquery is a two-level aggregate joined "
+    "back on (part, exact min); per-row IEEE division and min are "
+    "order-independent, so the equality matches DuckDB bit-for-bit. "
+    "Dim filters (size, type, region) prune before the join-back.",
+    tags=("tpch", "J4", "A2", "W4"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.b_partkey)
+            & (costs.unit_cost == best.min_cost),
+        )
+        .join(F.broadcast(part), costs.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), costs.l_suppkey == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
     "tpch_q4_order_priority",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
@@ -267,6 +337,104 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH natline AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT l_partkey, {oracle_dsum("value", "part_value")}
+    FROM natline
+    GROUP BY l_partkey
+    HAVING CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE) >
+           (SELECT CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)
+                   * 0.001
+            FROM natline)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 important stock (adapted: per-part value comes "
+    "from one nation's shipped lineitem revenue instead of "
+    "partsupp availqty·supplycost). HAVING against a scalar "
+    "fraction-of-total subquery: the total is a decimal-exact sum "
+    "over the same base rows — computed independently, not by "
+    "re-summing group doubles — so the threshold is bit-identical "
+    "on both engines. Spark evaluates it as a one-row broadcast "
+    "joined to the grouped aggregate.",
+    tags=("tpch", "A1", "A16"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    natline = li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", value.alias("value")
+    )
+    threshold = natline.agg(dsum("value", "total")).select(
+        (F.col("total") * 0.001).alias("threshold")
+    )
+    return (
+        natline.groupBy("l_partkey")
+        .agg(dsum("value", "part_value"))
+        .join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shipping-priority split (adapted: grouped by "
+    "l_linestatus since l_shipmode is absent). Conditional counts "
+    "split one pass into high/low priority classes — the CASE "
+    "expressions stay in whole-stage codegen and partial-aggregate "
+    "map-side, so the orders⋈lineitem join output never materializes "
+    "beyond the two counter columns per group.",
+    tags=("tpch", "P8", "A16"),
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
     "tpch_q13_customer_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist
@@ -472,6 +640,71 @@ def tpch_q19_discounted_revenue(
             | leg("Brand#16", 5, 20, 30)
         )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "tpch_q20_excess_volume_supplier",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, {oracle_dsum("l_quantity", "qty")}
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ), part_total AS (
+      SELECT l_partkey AS t_partkey, {oracle_dsum("qty", "total_qty")}
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM shipped JOIN part_total
+                  ON l_partkey = t_partkey
+                  WHERE l_suppkey = s_suppkey
+                    AND qty > 0.5 * total_qty)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 excess-volume suppliers (adapted: 'holds excess "
+    "stock' becomes 'shipped more than half of a small-part's 1997 "
+    "volume' — availqty is a partsupp column). The nested correlated "
+    "EXISTS chain is one aggregation pyramid: per-(supplier, part) "
+    "quantities, per-part totals (sums of exact decimals, so "
+    "re-aggregating the group sums is still exact), a dominance "
+    "filter, then a left-semi join into supplier. Three shuffles "
+    "total, no per-row subquery.",
+    tags=("tpch", "J5", "A1"),
+)
+def tpch_q20_excess_volume_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity", "qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        dsum("qty", "total_qty")
+    )
+    dominant = (
+        shipped.join(part_total, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
 
 

@@ -50,7 +50,16 @@ EXPECT: dict[str, dict] = {
     "tpch_q10_returned_items": {"pushed": "l_returnflag", "broadcast": 1},
     "tpch_q14_promo_revenue": {"pushed": "l_shipdate", "broadcast": 1},
     "tpch_q18_large_orders": {},
+    "tpch_q2_min_cost_supplier": {"broadcast": 2},
     "tpch_q4_order_priority": {"pushed": "o_orderdate"},
+    # threshold = fraction-of-total scalar joined conditionlessly to
+    # the grouped aggregate — 1-row BroadcastNestedLoopJoin intended
+    "tpch_q11_important_stock": {"broadcast": 1, "bnlj_ok": True},
+    "tpch_q12_priority_shipping": {"pushed": "l_shipdate"},
+    "tpch_q20_excess_volume_supplier": {
+        "pushed": "l_shipdate",
+        "broadcast": 1,
+    },
     "tpch_q7_volume_shipping": {"pushed": "l_shipdate", "broadcast": 2},
     "tpch_q8_market_share": {"pushed": "o_orderdate", "broadcast": 2},
     "tpch_q9_product_type_profit": {"pushed": "p_name", "broadcast": 2},
