@@ -54,19 +54,22 @@ def propagate(
                 F.transform("feat", lambda x: x * gate).alias("msg"),
             )
         )
-        # collect_list bounds memory by in-degree; for power-law graphs
-        # switch to posexplode + groupBy(node, dim) without changing
-        # the layer semantics
+        # posexplode + groupBy(node, dim): per-task state is one
+        # partial-sum cell per (node, dim), so memory is O(1) in
+        # in-degree — a power-law hub with 10^8 in-edges costs the
+        # same task memory as a leaf. The per-node array is then
+        # reassembled from the per-dim sums, whose collect_list is
+        # bounded by the (fixed, small) feature dimension.
         agg = (
-            msgs.groupBy("node_id")
-            .agg(F.count("*").alias("n_in"), F.collect_list("msg").alias("msgs"))
-            .select(
-                "node_id",
-                "n_in",
-                F.aggregate(
-                    "msgs",
-                    F.transform(F.element_at("msgs", 1), lambda _: F.lit(0.0)),
-                    lambda acc, m: F.zip_with(acc, m, lambda a, b: a + b),
+            msgs.select("node_id", F.posexplode("msg").alias("dim", "v"))
+            .groupBy("node_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n_in"))
+            .groupBy("node_id")
+            .agg(
+                F.max("n_in").alias("n_in"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                    lambda e: e["s"],
                 ).alias("sum_msg"),
             )
         )
