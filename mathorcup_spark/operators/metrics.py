@@ -156,12 +156,22 @@ def m_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("P")
         .alias("yhat"),
     )
-    classes = labeled.select(F.col("y").alias("cls")).distinct()
-    joined = labeled.crossJoin(F.broadcast(classes))
-    per_class = joined.groupBy("cls").agg(
-        F.sum(F.when((F.col("y") == F.col("cls")) & (F.col("yhat") == F.col("cls")), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("yhat") == F.col("cls"), 1).otherwise(0)).alias("pred_pos"),
-        F.sum(F.when(F.col("y") == F.col("cls"), 1).otherwise(0)).alias("actual_pos"),
+    # ONE grouped pass over the data builds the |classes|^2 confusion
+    # matrix; every per-class count is then derived from that tiny
+    # frame — no |classes|x row replication of the labeled table
+    # (the crossJoin form shuffles 3x the data for a 3-class problem).
+    conf = labeled.groupBy("y", "yhat").agg(F.count("*").alias("n"))
+    classes = conf.select(F.col("y").alias("cls")).distinct()
+    tp = conf.filter(F.col("y") == F.col("yhat")).select(
+        F.col("y").alias("cls"), F.col("n").alias("tp")
+    )
+    pred = conf.groupBy("yhat").agg(F.sum("n").alias("pred_pos")).withColumnRenamed("yhat", "cls")
+    act = conf.groupBy("y").agg(F.sum("n").alias("actual_pos")).withColumnRenamed("y", "cls")
+    per_class = (
+        classes.join(tp, "cls", "left")
+        .join(pred, "cls", "left")
+        .join(act, "cls", "left")
+        .na.fill({"tp": 0, "pred_pos": 0, "actual_pos": 0})
     )
     prec = F.col("tp").cast("double") / F.col("pred_pos")
     rec = F.col("tp").cast("double") / F.col("actual_pos")
@@ -171,6 +181,59 @@ def m_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("f1").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
             "macro_f1"
         )
+    )
+
+
+@register(
+    "m_regression_suite",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    m AS (
+      SELECT
+        count(*) AS n,
+        {oracle_davg("abs(t - p) / p", "mape")},
+        {oracle_davg("abs(t - p)", "mae")},
+        {oracle_davg("CASE WHEN abs(t - p) / p <= 0.05 THEN 1.0 ELSE 0.0 END", "acc5")},
+        CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS st,
+        CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+        CAST(sum(CAST(t * p AS DECIMAL(18,6))) AS DOUBLE) AS stp,
+        CAST(sum(CAST(t * t AS DECIMAL(18,6))) AS DOUBLE) AS stt,
+        CAST(sum(CAST(p * p AS DECIMAL(18,6))) AS DOUBLE) AS spp
+      FROM pairs)
+    SELECT mape, mae, acc5, 0.2 * (1 - mape) + 0.8 * acc5 AS score,
+           (n * stp - st * sp)
+           / sqrt((n * stt - st * st) * (n * spp - sp * sp)) AS pearson
+    FROM m
+    """,
+    doc="A9-A13 composed: MAPE, MAE, Accuracy@5%, competition score "
+    "0.2*(1-MAPE)+0.8*Acc@5 (reference src/evaluate.py:17-44) AND "
+    "Pearson correlation (src/evaluate.py:198-201) in ONE aggregate "
+    "pass over the (target, predict) pairs — the reference's whole "
+    "regression eval stack as a single scan with 8 exact-decimal "
+    "moments.",
+    tags=("A9", "A10", "A11", "A12", "A13"),
+)
+def m_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _pred_pairs(spark, sf_dir)
+    t, p = F.col("t"), F.col("p")
+    ape = F.abs(t - p) / p
+    hit = F.when(ape <= 0.05, 1.0).otherwise(0.0)
+    n = F.count("t")
+    mape = F.sum(ape.cast("decimal(18,6)")).cast("double") / n
+    acc5 = F.sum(hit.cast("decimal(18,6)")).cast("double") / n
+    st = F.sum(t.cast("decimal(18,6)")).cast("double")
+    sp = F.sum(p.cast("decimal(18,6)")).cast("double")
+    stp = F.sum((t * p).cast("decimal(18,6)")).cast("double")
+    stt = F.sum((t * t).cast("decimal(18,6)")).cast("double")
+    spp = F.sum((p * p).cast("decimal(18,6)")).cast("double")
+    return pairs.agg(
+        mape.alias("mape"),
+        davg(F.abs(t - p), "mae"),
+        acc5.alias("acc5"),
+        (0.2 * (1 - mape) + 0.8 * acc5).alias("score"),
+        ((n * stp - st * sp) / F.sqrt((n * stt - st * st) * (n * spp - sp * sp))).alias(
+            "pearson"
+        ),
     )
 
 
