@@ -12,6 +12,7 @@ from ..operators import (  # noqa: F401
     metrics,
     relational,
     sampling,
+    suites,
     temporal,
     tpch_more,
 )
@@ -20,5 +21,5 @@ from ..streaming import windows  # noqa: F401
 _ALL = [
     relational, scalar, metrics, sampling, graph, temporal, analytics,
     tpch_more, text, dedup, similarity, multimodal, windows, pipelines,
-    graph_embed,
+    graph_embed, suites,
 ]
