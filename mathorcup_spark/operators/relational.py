@@ -837,18 +837,26 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_approx_count_distinct",
-    oracle=None,  # HLL sketches differ across engines; accuracy is
-    # asserted in tests against the exact count (rows-only here)
+    oracle="""
+    SELECT event_type, count(*) AS n_events, TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++) per event_type: the "
-    "constant-memory cardinality path for 100 TB — one pass, no "
-    "distinct shuffle, mergeable sketches. tests/ asserts <5% error "
-    "vs the exact count; the driver records a rows-only check since "
-    "sketch estimates are engine-specific.",
+    "constant-memory cardinality path for 100 TB — one pass, "
+    "mergeable sketches. HLL estimates are engine-specific, so the "
+    "hash-checked contract is the ACCURACY: the query emits "
+    "within_5pct = |approx - exact|/exact <= 0.05 per group and the "
+    "oracle expects TRUE — a sketch drifting past 5% error flips the "
+    "value hash and fails the driver check. (The exact countDistinct "
+    "here exists only to grade the sketch; production callers use "
+    "the approx column alone.)",
     tags=("agg", "approx"),
 )
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id")
+    exact = F.countDistinct("user_id").cast("double")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (F.abs(approx - exact) / exact <= 0.05).alias("within_5pct"),
     )
