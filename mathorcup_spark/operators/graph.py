@@ -26,6 +26,35 @@ from ..catalog import load
 from ..registry import register
 
 
+_TRIPLES_SQL = """
+    WITH melted AS (
+      SELECT p_partkey AS row_id, 'p_brand' AS name, p_brand AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_type', p_type FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size', CAST(p_size AS VARCHAR) FROM part
+    ), pairs AS (
+      SELECT DISTINCT a.name || ':' || a.value AS head_token,
+                      b.name AS rel_token,
+                      b.name || ':' || b.value AS tail_token
+      FROM melted a JOIN melted b
+        ON a.row_id = b.row_id AND a.name <> b.name
+    ), ent AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS ent_id
+      FROM (SELECT DISTINCT head_token AS token FROM pairs
+            UNION SELECT DISTINCT tail_token FROM pairs)
+    ), rel AS (
+      SELECT rel_token, CAST(row_number() OVER (ORDER BY rel_token) - 1 AS BIGINT) AS rel_id
+      FROM (SELECT DISTINCT rel_token FROM pairs)
+    )
+    SELECT h.ent_id AS head, r.rel_id AS rel, t.ent_id AS tail
+    FROM pairs p
+    JOIN ent h ON p.head_token = h.token
+    JOIN rel r ON p.rel_token = r.rel_token
+    JOIN ent t ON p.tail_token = t.token
+"""
+
+
 @register(
     "g_triple_build",
     oracle="""
@@ -213,4 +242,167 @@ def g_filtered_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
+    )
+
+
+# Deterministic integer scoring for the bidirectional ranking: a
+# linear-congruential mix of (head, rel, tail) ids. Not a trained
+# model — the point is that BOTH engines compute byte-identical
+# scores, so the oracle verifies the *ranking machinery* (candidate
+# generation, positive filtering, rank, MRR/Hits) end to end. A
+# trained TransE swaps in by replacing _score with an embedding dot
+# (g_transe_score) without touching the surrounding plan.
+_SC_H, _SC_R, _SC_T, _SC_M = 48271, 69621, 16807, 1000003
+
+
+@register(
+    "g_bidirectional_mrr",
+    oracle=f"""
+    WITH triples AS (SELECT * FROM ({_TRIPLES_SQL}) _t),
+    ents AS (
+      SELECT DISTINCT e FROM (SELECT head AS e FROM triples
+                              UNION ALL SELECT tail FROM triples)
+    ),
+    test AS (
+      SELECT * FROM triples WHERE (head * 31 + rel * 17 + tail) % 50 = 0
+    ),
+    q AS (
+      SELECT 'tail' AS dir, head AS fixed, rel, tail AS target FROM test
+      UNION ALL
+      SELECT 'head', tail, rel, head FROM test
+    ),
+    cand AS (
+      SELECT q.dir, q.fixed, q.rel, q.target, e.e AS c
+      FROM q, ents e
+      WHERE e.e <> q.target
+        AND NOT EXISTS (
+          SELECT 1 FROM triples t WHERE t.rel = q.rel AND (
+            (q.dir = 'tail' AND t.head = q.fixed AND t.tail = e.e) OR
+            (q.dir = 'head' AND t.head = e.e AND t.tail = q.fixed)))
+    ),
+    scored AS (
+      SELECT dir, fixed, rel, target, c,
+             CASE WHEN dir = 'tail'
+                  THEN (fixed * {_SC_H} + rel * {_SC_R} + c * {_SC_T}) % {_SC_M}
+                  ELSE (c * {_SC_H} + rel * {_SC_R} + fixed * {_SC_T}) % {_SC_M}
+             END AS c_score,
+             CASE WHEN dir = 'tail'
+                  THEN (fixed * {_SC_H} + rel * {_SC_R} + target * {_SC_T}) % {_SC_M}
+                  ELSE (target * {_SC_H} + rel * {_SC_R} + fixed * {_SC_T}) % {_SC_M}
+             END AS t_score
+      FROM cand
+    ),
+    ranks AS (
+      SELECT dir, fixed, rel, target,
+             1 + sum(CASE WHEN c_score > t_score
+                          OR (c_score = t_score AND c < target)
+                     THEN 1 ELSE 0 END) AS rnk
+      FROM scored GROUP BY dir, fixed, rel, target
+    )
+    SELECT dir,
+           CAST(CAST(sum(1000000 // rnk) AS BIGINT) AS DOUBLE)
+             / count(*) / 1000000 AS mrr,
+           CAST(sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1.0 / count(*) AS hits1,
+           CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1.0 / count(*) AS hits3,
+           CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1.0 / count(*) AS hits10,
+           count(*) AS n_queries
+    FROM ranks GROUP BY dir ORDER BY dir
+    """,
+    doc="G1+G6+A15 composed, BOTH directions: build the co-occurrence "
+    "triples (G1), hold out a deterministic test slice, and for each "
+    "test triple rank the true entity against every candidate under "
+    "BOTH perturb-tail AND perturb-head corruption — the two loops of "
+    "reference src/evaluate.py:138-176 — in the filtered setting "
+    "(known positive triples removed from the candidate set via "
+    "anti-join, src/evaluate.py:130-136), then aggregate MRR and "
+    "Hits@{1,3,10} per direction (src/evaluate.py:177-197, "
+    "valid_mrr_dataset). Rank = 1 + count(candidates that beat the "
+    "target) — a grouped aggregate, not a per-candidate window, so "
+    "no global sort materializes; candidates are a broadcast of the "
+    "vocabulary-sized entity set. MRR uses exact integer micro-units "
+    "(1e6 div rank) like m_mrr_hits.",
+    tags=("G1", "G6", "A15", "W1", "suite"),
+)
+def g_bidirectional_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = g_triple_build(spark, sf_dir)
+    # triples is reused 4x (test slice, candidate filter per
+    # direction, entity domain); localCheckpoint materializes it once
+    # instead of re-running the melt + self-join per reuse.
+    triples = triples.localCheckpoint(eager=False)
+    ents = (
+        triples.select(F.col("head").alias("e"))
+        .unionByName(triples.select(F.col("tail").alias("e")))
+        .distinct()
+    )
+    test = triples.filter(
+        (F.col("head") * 31 + F.col("rel") * 17 + F.col("tail")) % 50 == 0
+    )
+
+    def direction(dir_name: str) -> DataFrame:
+        if dir_name == "tail":
+            q = test.select(
+                F.col("head").alias("fixed"), "rel", F.col("tail").alias("target")
+            )
+        else:
+            q = test.select(
+                F.col("tail").alias("fixed"), "rel", F.col("head").alias("target")
+            )
+        cand = q.join(F.broadcast(ents), F.col("e") != F.col("target"))
+        t = triples
+        # bracket access: DataFrame.head / DataFrame.tail are methods,
+        # so attribute access would return bound functions, not Columns
+        if dir_name == "tail":
+            known = (
+                (F.col("fixed") == t["head"])
+                & (cand["rel"] == t["rel"])
+                & (F.col("e") == t["tail"])
+            )
+        else:
+            known = (
+                (F.col("e") == t["head"])
+                & (cand["rel"] == t["rel"])
+                & (F.col("fixed") == t["tail"])
+            )
+        cand = cand.join(t, known, "left_anti")
+
+        def score(c):
+            if dir_name == "tail":
+                mix = F.col("fixed") * _SC_H + F.col("rel") * _SC_R + c * _SC_T
+            else:
+                mix = c * _SC_H + F.col("rel") * _SC_R + F.col("fixed") * _SC_T
+            return mix % _SC_M
+
+        c_score = score(F.col("e"))
+        t_score = score(F.col("target"))
+        beat = F.when(
+            (c_score > t_score)
+            | ((c_score == t_score) & (F.col("e") < F.col("target"))),
+            1,
+        ).otherwise(0)
+        return (
+            cand.groupBy("fixed", "rel", "target")
+            .agg((F.lit(1) + F.sum(beat)).alias("rnk"))
+            .select(F.lit(dir_name).alias("dir"), "rnk")
+        )
+
+    ranks = direction("tail").unionByName(direction("head"))
+    n = F.count("*")
+    hit = lambda k: (  # noqa: E731
+        F.sum(F.when(F.col("rnk") <= k, 1).otherwise(0)) * 1.0 / n
+    )
+    return (
+        ranks.groupBy("dir")
+        .agg(
+            (F.sum(F.expr("1000000 div rnk")).cast("double") / n / 1000000).alias(
+                "mrr"
+            ),
+            hit(1).alias("hits1"),
+            hit(3).alias("hits3"),
+            hit(10).alias("hits10"),
+            n.alias("n_queries"),
+        )
+        .orderBy("dir")
     )
