@@ -15,7 +15,7 @@ hand-computed fixtures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -236,3 +236,149 @@ def encode_columns(df: DataFrame, dictionary: DataFrame, columns: list[str]) -> 
             "left",
         ).drop(f"_{c}_val")
     return out
+
+
+# ---------------------------------------------------------------------------
+# End-to-end composed pipeline (reference second.py:118-151 shape),
+# registered as a driver-verifiable query. The 附件-shaped valuation
+# and transaction frames are synthesized DETERMINISTICALLY from the
+# catalog's part/orders tables with expressions both engines share,
+# so the DuckDB oracle can verify the whole chain:
+#   fix_valuation (F1) → derive_geometry (F2) → join_transactions
+#   (J1/J2) → extract_deal_price (F5) → sold_indicator (F8) →
+#   holding_days (F6)
+# The oracle reconstructs dealPrice from the same arithmetic that
+# BUILT the JSON, so Spark's from_json + value-at-max-date extraction
+# is verified against an independent derivation.
+# ---------------------------------------------------------------------------
+
+from ..catalog import load  # noqa: E402
+from ..registry import register  # noqa: E402
+
+
+@register(
+    "car_pipeline_e2e",
+    oracle="""
+    WITH val0 AS (
+      SELECT p_partkey AS carid, p_brand AS brand, p_retailprice AS newprice,
+             CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_size END AS carCode,
+             CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_size % 3 END AS gearbox,
+             CASE WHEN p_partkey % 11 = 0 THEN NULL
+                  ELSE CAST(p_size AS VARCHAR) || '*'
+                       || CAST(p_size + 1 AS VARCHAR) || '*'
+                       || CAST(p_size + 2 AS VARCHAR) END AS af12
+      FROM part
+    ), val AS (
+      SELECT carid, brand, newprice,
+             COALESCE(carCode, -1) AS carCode,
+             COALESCE(gearbox, 0) AS gearbox,
+             COALESCE(af12, '0*0*0') AS af12
+      FROM val0
+    ), valg AS (
+      SELECT *,
+             CAST(string_split(af12, '*')[1] AS DOUBLE)
+             * CAST(string_split(af12, '*')[2] AS DOUBLE)
+             * CAST(string_split(af12, '*')[3] AS DOUBLE) AS dim_volume
+      FROM val
+    ), tx AS (
+      SELECT o_orderkey AS txid,
+             o_orderkey % (SELECT max(p_partkey) FROM part) + 1 AS carid,
+             CAST(o_orderdate AS DATE) AS pushDate,
+             o_totalprice AS pushPrice,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                  ELSE (o_orderkey * 7) % 9999 END AS v1,
+             CAST(floor(o_totalprice) AS BIGINT) % 9999 AS v2,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE CAST(o_orderdate AS DATE)
+                       + CAST(o_orderkey % 60 + 1 AS INTEGER) END AS withdrawDate,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 90 + 1 AS INTEGER) AS pullDate
+      FROM orders
+    )
+    SELECT t.txid, t.carid, v.brand, v.newprice,
+           CAST(v.carCode AS BIGINT) AS carCode,
+           CAST(v.gearbox AS BIGINT) AS gearbox,
+           v.dim_volume,
+           t.pushDate,
+           CASE WHEN t.v1 IS NULL THEN t.pushPrice
+                ELSE CAST(t.v2 AS DOUBLE) END AS dealPrice,
+           CAST(CASE WHEN t.withdrawDate IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS sold,
+           CAST(date_diff('day', t.pushDate,
+                          COALESCE(t.withdrawDate, t.pullDate))
+                AS BIGINT) AS holdingDays
+    FROM tx t JOIN valg v ON t.carid = v.carid
+    """,
+    doc="Composed car-valuation pipeline, end to end (reference "
+    "second.py:118-151 driving src/utils.py:233-309): constant "
+    "imputation (F1, src/utils.py:92-131) → geometry parse (F2, "
+    "src/data.py:92-102) → transaction⋈valuation join (J1/J2, "
+    "src/utils.py:241-290) → deal price from the price-adjustment "
+    "JSON map with pushPrice fallback (F5, src/utils.py:292-309) → "
+    "sold indicator (F8, src/utils.py:245-250) → holding days (F6, "
+    "src/utils.py:226-231) — ONE Catalyst DAG instead of the "
+    "reference's xlsx-materialized stages. Input frames are "
+    "synthesized deterministically from part/orders so the oracle "
+    "can independently re-derive every value, including the "
+    "JSON-extracted deal price.",
+    tags=("J1", "J2", "F1", "F2", "F5", "F6", "F8", "suite"),
+)
+def car_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("p_partkey")
+    sz = F.col("p_size")
+    valuation = part.select(
+        k.alias("carid"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("newprice"),
+        F.when(k % 7 == 0, None).otherwise(sz).alias("carCode"),
+        F.when(k % 5 == 0, None).otherwise(sz % 3).alias("gearbox"),
+        F.when(k % 11 == 0, None)
+        .otherwise(F.concat_ws("*", sz, sz + 1, sz + 2))
+        .alias("anonymousFeature12"),
+    )
+    valuation = derive_geometry(fix_valuation(valuation))
+
+    o = F.col("o_orderkey")
+    maxp = part.agg(F.max("p_partkey").alias("maxp"))
+    push = F.to_date("o_orderdate")
+    v1 = (o * 7) % 9999
+    v2 = F.floor(F.col("o_totalprice")).cast("long") % 9999
+    tx = orders.join(F.broadcast(maxp)).select(
+        o.alias("txid"),
+        (o % F.col("maxp") + 1).alias("carid"),
+        push.alias("pushDate"),
+        F.col("o_totalprice").alias("pushPrice"),
+        F.when(o % 4 == 0, None)
+        .otherwise(
+            F.concat(
+                F.lit('{"2021-01-15":"'),
+                v1.cast("string"),
+                F.lit('","2021-06-20":"'),
+                v2.cast("string"),
+                F.lit('"}'),
+            )
+        )
+        .alias("updatePriceTimeJson"),
+        F.when(o % 3 == 0, None)
+        .otherwise(F.date_add(push, (o % 60 + 1).cast("int")))
+        .alias("withdrawDate"),
+        F.date_add(push, (o % 90 + 1).cast("int")).alias("pullDate"),
+    )
+
+    joined = join_transactions(valuation, tx)
+    out = holding_days(sold_indicator(extract_deal_price(joined)))
+    return out.select(
+        "txid",
+        "carid",
+        "brand",
+        "newprice",
+        F.col("carCode").cast("long").alias("carCode"),
+        F.col("gearbox").cast("long").alias("gearbox"),
+        "dim_volume",
+        "pushDate",
+        "dealPrice",
+        F.col("sold").cast("long").alias("sold"),
+        F.col("holdingDays").cast("long").alias("holdingDays"),
+    )
