@@ -141,16 +141,56 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             )) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), mins AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(16))}
+      FROM ex GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             [{", ".join(f"h{i}" for i in range(16))}] AS sig
+      FROM mins
+    ), banded AS (
+      SELECT doc_id, b.b AS band,
+             md5(sig[b.b*4 + 1] || ',' || sig[b.b*4 + 2] || ',' ||
+                 sig[b.b*4 + 3] || ',' || sig[b.b*4 + 4]) AS bucket,
+             sig
+      FROM sig, range(0, 4) b(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(len(list_filter(range(1, 17), i -> a.sig[i] = c.sig[i]))
+                AS DOUBLE) / 16 AS est_jaccard
+    FROM banded a JOIN banded c
+      ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+"""
+
+
 @register(
     "d_minhash_lsh",
-    oracle=None,  # xxhash64 signatures have no DuckDB equivalent
+    oracle=_MINHASH_ORACLE,
     doc="MinHash+LSH near-dup candidate pairs: word-3-gram shingles → "
-    "16 minhash values (xxhash64 with per-permutation salts) → 4 "
-    "banded signatures → self-join on (band, signature) buckets → "
-    "distinct candidate pairs with estimated similarity (fraction of "
-    "agreeing minhashes). No all-pairs comparison: cost is bounded by "
-    "bucket collisions. Deterministic (fixed salts) — rows-only check; "
-    "tests pin signature determinism and the shuffled-near-dup recall.",
+    "16 minhash values (min of md5 over salted shingles — md5 exists "
+    "on both engines, so the full signature/banding/bucket-join "
+    "pipeline is oracle-verified, not rows-only) → 4 banded "
+    "signatures → self-join on (band, bucket) → distinct candidate "
+    "pairs with estimated similarity (fraction of agreeing "
+    "minhashes). No all-pairs comparison: cost is bounded by bucket "
+    "collisions. A 32-hex-char minhash shuffles 4x the bytes of an "
+    "xxhash64 long; at 100 TB swap the salt-md5 for xxhash64 (same "
+    "plan shape) if signature bandwidth ever dominates — the oracle "
+    "then degrades to rows-only, which is why the md5 form is the "
+    "default.",
     tags=("dedup", "minhash", "lsh"),
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,17 +208,19 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # already yields many splits and this branch never fires.
         wdf = wdf.repartition("doc_id")
     shingles = _shingles(F.col("words"), 3)
-    # minhash_i = min over shingles of xxhash64(salt_i || shingle).
-    # Explode + 16 min-aggregates, NOT a nested HOF: Catalyst has no
-    # common-subexpression elimination inside lambdas, so the HOF form
-    # rebuilds the shingle array once per salt (16× work — measured
-    # minutes vs seconds at sf0.1). Partial aggregation collapses the
-    # exploded rows map-side; the shuffle carries only
-    # (doc_id, 16 longs) per document.
+    # minhash_i = min over shingles of md5(salt_i || shingle) — a min
+    # over hex strings is a min over the underlying 128-bit values,
+    # and md5 is byte-identical across engines (the whole point: the
+    # oracle recomputes the signatures). Explode + 16 min-aggregates,
+    # NOT a nested HOF: Catalyst has no common-subexpression
+    # elimination inside lambdas, so the HOF form rebuilds the shingle
+    # array once per salt (16× work — measured minutes vs seconds at
+    # sf0.1). Partial aggregation collapses the exploded rows
+    # map-side; the shuffle carries (doc_id, 16 hex strings) per doc.
     exploded = wdf.select("doc_id", F.explode(shingles).alias("shingle"))
     mins = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -193,14 +235,14 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    F.md5(
                         F.concat_ws(
                             ",",
                             F.slice(
                                 F.col("sig"),
                                 (b * rows_per_band + 1).cast("int"),
                                 rows_per_band,
-                            ).cast("array<string>"),
+                            ),
                         )
                     ).alias("bucket"),
                 ),
@@ -232,14 +274,59 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_bit_sql(i: int) -> str:
+    """DuckDB: bit i (0..63) of the first 64 bits of md5(word) hex."""
+    pos, shift = i // 4 + 1, i % 4
+    return (
+        f"((instr('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+        f" >> {shift}) & 1"
+    )
+
+
+_SIMHASH_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))) AS word
+      FROM documents
+    ), h AS (
+      SELECT doc_id, source, md5(word) AS hx FROM w
+    ), votes AS (
+      SELECT doc_id, source,
+             {", ".join(
+                 f"sum(CASE WHEN {_md5_bit_sql(i)} = 1 THEN 1 ELSE -1 END)"
+                 f" AS b{i}"
+                 for i in range(64))}
+      FROM h GROUP BY doc_id, source
+    ), bits AS (
+      SELECT doc_id, source,
+             [{", ".join(f"CASE WHEN b{i} > 0 THEN 1 ELSE 0 END"
+                          for i in range(64))}] AS bits
+      FROM votes
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> CASE WHEN a.bits[i] <> c.bits[i] THEN 1 ELSE 0 END))
+                AS BIGINT) AS hamming
+    FROM bits a JOIN bits c
+      ON a.source = c.source
+     AND c.doc_id > a.doc_id AND c.doc_id <= a.doc_id + 20
+"""
+
+
 @register(
     "d_simhash",
-    oracle=None,  # xxhash64-based bit signatures, Spark-side only
+    oracle=_SIMHASH_ORACLE,
     doc="SimHash 64-bit signatures + Hamming-distance scoring over "
-    "key-bounded pairs: per word, xxhash64 votes ±1 on each bit; the "
-    "sign of the per-bit sum forms the signature; near-dups have small "
-    "Hamming distance (bit_count of XOR). All HOF arithmetic, no "
-    "Python. Deterministic — rows-only check.",
+    "key-bounded pairs: per word, the first 64 bits of md5(word) vote "
+    "±1 on each signature bit; the sign of the per-bit sum forms the "
+    "signature; near-dups have small Hamming distance (bit_count of "
+    "XOR). md5 bits (not xxhash64) so the oracle recomputes the exact "
+    "signatures — the DuckDB side unpacks hex digits and compares "
+    "bit vectors, verifying votes, signs, and Hamming end to end. "
+    "Candidate pairs are key-bounded (same source, id distance ≤ 20) "
+    "— a scoring-stage demonstrator; corpus-wide recall comes from "
+    "the LSH variants (see COVERAGE.md §near-dup-recall).",
     tags=("dedup", "simhash"),
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,15 +334,22 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
     # Explode + 64 per-bit vote sums (map-side partial agg), then OR
     # the positive bits together — same no-nested-HOF rationale as
-    # d_minhash_lsh. shiftright via F.expr: the Python API rejects a
-    # non-literal shift amount.
+    # d_minhash_lsh. Bit i of the word hash = bit (i%4) of hex digit
+    # i//4 of md5(word); instr over the hex alphabet decodes a digit
+    # identically on both engines.
     exploded = docs.select(
         "doc_id", "source", F.explode(words).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", F.md5("w"))
     votes = exploded.groupBy("doc_id", "source").agg(
         *[
             F.sum(
-                F.when(F.expr(f"shiftright(h, {i}) & 1L = 1L"), 1).otherwise(-1)
+                F.when(
+                    F.expr(
+                        f"shiftright(instr('0123456789abcdef',"
+                        f" substr(h, {i // 4 + 1}, 1)) - 1, {i % 4}) % 2 = 1"
+                    ),
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
@@ -285,7 +379,7 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
     )
 
