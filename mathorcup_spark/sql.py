@@ -28,19 +28,20 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
     # F2 geometry: "L*W*H" -> volume, as a SQL-callable expression.
-    # Registered as a Python UDF ONLY for SQL-API ergonomics; the
-    # DataFrame path uses the pure-column split/cast composition in
-    # functions/scalar.py (JVM-side). Not for 100 TB hot paths.
-    def dims_volume(s: str | None) -> float | None:
-        if not s:
-            return None
-        try:
-            length, width, height = (float(p) for p in s.split("*"))
-        except ValueError:
-            return None
-        return length * width * height
-
-    spark.udf.register("dims_volume", dims_volume, "double")
+    # A SQL-body function, NOT a Python UDF: the body inlines into the
+    # caller's plan as JVM column expressions (split/try_cast), so it
+    # stays inside whole-stage codegen and is safe in 100 TB hot
+    # paths — same semantics as the DataFrame path in
+    # functions/scalar.py (NULL on null/malformed input).
+    spark.sql(
+        r"""
+        CREATE OR REPLACE TEMPORARY FUNCTION dims_volume(s STRING)
+        RETURNS DOUBLE
+        RETURN TRY_CAST(get(split(s, '\\*'), 0) AS DOUBLE)
+             * TRY_CAST(get(split(s, '\\*'), 1) AS DOUBLE)
+             * TRY_CAST(get(split(s, '\\*'), 2) AS DOUBLE)
+        """
+    )
 
 
 FLAGSHIP_SQL = """
