@@ -78,3 +78,15 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert len(df.columns) >= 2
+
+
+def test_driver_priority_prefix():
+    """The driver verifies a 50-entry prefix: it must be exactly
+    DRIVER_PRIORITY, with every name registered, no duplicates, and
+    at most the two by-design rows-only queries lacking oracles."""
+    qs = list(registry.queries())
+    assert len(qs) == len(set(qs))
+    assert tuple(qs[: len(registry.DRIVER_PRIORITY)]) == registry.DRIVER_PRIORITY
+    ors = registry.oracles()
+    rows_only = [q for q in registry.DRIVER_PRIORITY if q not in ors]
+    assert rows_only == ["r_seeded_suite", "ml_graph_propagate"]
