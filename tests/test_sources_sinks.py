@@ -85,17 +85,11 @@ def test_json_roundtrip(spark, tmp_path):
 
 
 def test_approx_count_distinct_accuracy(spark):
-    """HLL++ estimate within 5% of the exact distinct count (no oracle
-    — sketches are engine-specific, so the driver only row-checks)."""
+    """HLL++ estimate within 5% of the exact distinct count — the
+    query itself grades the sketch (within_5pct), and the oracle
+    expects TRUE per group, so the driver hash-checks accuracy."""
     q = registry.queries()["a_approx_count_distinct"]
-    approx = {r.event_type: r.approx_users for r in q(spark, SF_DIR).collect()}
-    events = load(spark, SF_DIR, "events")
-    exact = {
-        r.event_type: r.exact
-        for r in events.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+    rows = q(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.within_5pct is True, (r.event_type, r.n_events)
