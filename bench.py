@@ -67,6 +67,11 @@ HEADLINE = [
     "a_rollup_subtotals",
     "t_text_stats",
     "st_session_window",
+    "tpch_q14_promo_revenue",
+    "d_simhash",
+    "m_regression_suite",
+    "g_bidirectional_mrr",
+    "car_pipeline_e2e",
 ]
 
 

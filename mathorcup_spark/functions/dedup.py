@@ -141,6 +141,16 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
+# Universal-hash MinHash permutations: ONE md5 per shingle gives a
+# 60-bit base value x (15 hex chars, parseable on both engines); the
+# 16 "permutations" are h_i(x) = (a_i * x + b_i) mod P — the standard
+# (a*x+b) mod p construction, pure 64-bit integer arithmetic that
+# Spark and DuckDB evaluate identically. a_i * x stays < 2^63
+# because x < P ~ 2^30 and a_i < P.
+_MH_P = 1_000_000_007
+_MH_A = [(48271 * (i + 1)) % _MH_P for i in range(N_HASHES)]
+_MH_B = [(69621 * (i * i + 1)) % _MH_P for i in range(N_HASHES)]
+
 _MINHASH_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id,
@@ -152,10 +162,15 @@ _MINHASH_ORACLE = f"""
                    string_split_regex(lower(trim(text)), '\\s+') AS words
             FROM documents)
     ), ex AS (
-      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT
+               % {_MH_P} AS x
+      FROM sh
     ), mins AS (
       SELECT doc_id,
-             {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(16))}
+             {", ".join(
+                 f"min(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+                 for i in range(16))}
       FROM ex GROUP BY doc_id
     ), sig AS (
       SELECT doc_id,
@@ -163,8 +178,8 @@ _MINHASH_ORACLE = f"""
       FROM mins
     ), banded AS (
       SELECT doc_id, b.b AS band,
-             md5(sig[b.b*4 + 1] || ',' || sig[b.b*4 + 2] || ',' ||
-                 sig[b.b*4 + 3] || ',' || sig[b.b*4 + 4]) AS bucket,
+             array_to_string(list_slice(sig, b.b*4 + 1, b.b*4 + 4), ',')
+               AS bucket,
              sig
       FROM sig, range(0, 4) b(b)
     )
@@ -180,17 +195,15 @@ _MINHASH_ORACLE = f"""
     "d_minhash_lsh",
     oracle=_MINHASH_ORACLE,
     doc="MinHash+LSH near-dup candidate pairs: word-3-gram shingles → "
-    "16 minhash values (min of md5 over salted shingles — md5 exists "
-    "on both engines, so the full signature/banding/bucket-join "
+    "ONE md5 per shingle parsed to a 60-bit int → 16 universal-hash "
+    "permutations (a_i*x+b_i mod p, integer arithmetic identical on "
+    "both engines — so the full signature/banding/bucket-join "
     "pipeline is oracle-verified, not rows-only) → 4 banded "
     "signatures → self-join on (band, bucket) → distinct candidate "
     "pairs with estimated similarity (fraction of agreeing "
     "minhashes). No all-pairs comparison: cost is bounded by bucket "
-    "collisions. A 32-hex-char minhash shuffles 4x the bytes of an "
-    "xxhash64 long; at 100 TB swap the salt-md5 for xxhash64 (same "
-    "plan shape) if signature bandwidth ever dominates — the oracle "
-    "then degrades to rows-only, which is why the md5 form is the "
-    "default.",
+    "collisions; the per-shingle cost is one digest + 16 multiply-"
+    "adds (16 salted digests measured ~20x slower at sf0.1).",
     tags=("dedup", "minhash", "lsh"),
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,19 +221,25 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # already yields many splits and this branch never fires.
         wdf = wdf.repartition("doc_id")
     shingles = _shingles(F.col("words"), 3)
-    # minhash_i = min over shingles of md5(salt_i || shingle) — a min
-    # over hex strings is a min over the underlying 128-bit values,
-    # and md5 is byte-identical across engines (the whole point: the
-    # oracle recomputes the signatures). Explode + 16 min-aggregates,
-    # NOT a nested HOF: Catalyst has no common-subexpression
-    # elimination inside lambdas, so the HOF form rebuilds the shingle
-    # array once per salt (16× work — measured minutes vs seconds at
-    # sf0.1). Partial aggregation collapses the exploded rows
-    # map-side; the shuffle carries (doc_id, 16 hex strings) per doc.
-    exploded = wdf.select("doc_id", F.explode(shingles).alias("shingle"))
+    # minhash_i = min over shingles of (a_i * x + b_i) mod P where x
+    # is the 60-bit prefix of md5(shingle) — one digest per shingle,
+    # then 16 integer multiply-adds (the salted-digest-per-
+    # permutation form measured 77s vs ~4s at sf0.1). Explode + 16
+    # min-aggregates, NOT a nested HOF: Catalyst has no common-
+    # subexpression elimination inside lambdas, so the HOF form
+    # rebuilds the shingle array once per permutation. Partial
+    # aggregation collapses the exploded rows map-side; the shuffle
+    # carries (doc_id, 16 longs) per document.
+    exploded = wdf.select("doc_id", F.explode(shingles).alias("shingle")).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % _MH_P
+        ).alias("x"),
+    )
     mins = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.min((F.lit(_MH_A[i]) * F.col("x") + _MH_B[i]) % _MH_P).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -235,15 +254,13 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.slice(
-                                F.col("sig"),
-                                (b * rows_per_band + 1).cast("int"),
-                                rows_per_band,
-                            ),
-                        )
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("sig"),
+                            (b * rows_per_band + 1).cast("int"),
+                            rows_per_band,
+                        ).cast("array<string>"),
                     ).alias("bucket"),
                 ),
             )
