@@ -51,18 +51,33 @@ from ..registry import DEC, davg, dsum, oracle_davg, oracle_dsum, register
 def flagship_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
-    # orders:lineitem is ~1:4 — at 100 TB both sides are huge, so this is a
-    # shuffle join on the natural key; AQE handles skew. The filter prunes
-    # lineitem *before* the shuffle (pushed to the parquet scan).
-    return (
+    # Pre-aggregate lineitem PER ORDER below the join: the join input
+    # shrinks ~4x (items -> orders), countDistinct(l_orderkey)
+    # becomes a plain count(*) of per-order rows, and no distinct-agg
+    # Expand doubles the shuffle (the naive join-then-countDistinct
+    # form measured ~3x slower at 10x scale). Decimal sums are
+    # associative, so sum-of-per-order-sums is bit-identical to the
+    # direct decimal sum and the oracle is unchanged. The filter
+    # prunes lineitem before everything (pushed to the parquet scan).
+    per_order = (
         lineitem.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("rev"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey, "inner")
         .groupBy("o_orderpriority")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
-            davg("l_quantity", "avg_qty"),
-            F.count("*").alias("n_items"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+            (F.sum("qty").cast("double") / F.sum("n_items")).alias("avg_qty"),
+            F.sum("n_items").alias("n_items"),
+            F.count("*").alias("n_orders"),
         )
         .orderBy("o_orderpriority")
     )
