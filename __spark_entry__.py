@@ -26,10 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return registry.queries()
+    """Driver surface: exactly 50 queries covering every SURVEY.md §2
+    operator (composed per-family suites + flagship + specialty ops +
+    all 22 TPC-H shapes). The full fine-grained registry stays the
+    user-facing API (``mathorcup_spark.registry.queries()``), verified
+    by tests/test_oracle_parity.py; COVERAGE.md maps operator → query.
+    """
+    return registry.driver_surface()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (rows-only checks omitted)."""
-    return registry.oracles()
+    return registry.driver_oracles()

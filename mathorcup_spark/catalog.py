@@ -145,8 +145,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers
+            # as TIMESTAMP_NTZ on Spark 4; cast to session-TZ timestamp
+            # (session TZ pinned UTC) so epoch arithmetic
+            # (unix_micros) and window() accept it, matching DuckDB's
+            # naive-timestamp epoch.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -25,9 +25,20 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import REGISTRY, register
+from . import analytics as AN
+from . import graph as G
+from . import metrics as M
 from . import relational as R
 from . import sampling as S
 from . import temporal as TP
+from . import tpch_more as TM
+from ..functions import dedup as FD
+from ..functions import multimodal as FM
+from ..functions import scalar as FSC
+from ..functions import similarity as FSI
+from ..functions import text as FT
+from ..ml import graph_embed as MLG
+from ..ml import pipelines as MLP
 from ..streaming import windows as STW
 
 # slot name -> (spark cast type, duckdb cast type)
@@ -260,7 +271,7 @@ _agg_members_oracle = "\nUNION ALL\n".join(
     "unpivoted) — each member's full result hash-verified "
     "(reference src/data.py:108-125, src/utils.py:76-83, "
     "preprocess.py:135-160, src/graph.py:30-43).",
-    tags=("A1", "A2", "A5", "A6", "A7", "A8", "A16", "suite"),
+    tags=("A1", "A2", "A5", "A6", "A7", "A8", "A16", "G2", "suite"),
 )
 def rel_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces = [
@@ -492,5 +503,414 @@ def st_batch_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _st_fn(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Deduplication family — exact, n-gram Jaccard, survivors, embedding
+# near-dup in one driver row (d_minhash_lsh / d_simhash keep their own
+# rows: their signature oracles are engine-specific md5 constructions)
+# ---------------------------------------------------------------------------
+
+_DEDUP_SCHEMA = [("id1", "long"), ("id2", "long"), ("num1", "double"),
+                 ("str1", "string")]
+_dedup_oracle, _dedup_fn = _suite(
+    _DEDUP_SCHEMA,
+    [
+        ("exact", "d_exact_dedup",
+         {"id1": "keep_doc_id", "id2": "n_copies", "str1": "content_hash"}),
+        ("ngram_jaccard", "d_ngram_jaccard",
+         {"id1": "doc_a", "id2": "doc_b", "num1": "jaccard"}),
+        ("survivors", "d_dedup_survivors",
+         {"id1": "doc_id", "id2": "n_chars"}),
+        ("embedding_neardup", "d_embedding_neardup",
+         {"id1": "vec_a", "id2": "vec_b", "num1": "cosine"}),
+    ],
+)
+
+
+@register(
+    "d_dedup_suite",
+    oracle=_dedup_oracle,
+    doc="Deduplication family composed: exact hash-groupBy dedup, "
+    "windowed n-gram Jaccard scoring, deterministic survivor "
+    "selection, and sign-LSH embedding near-dup with Arrow rescore — "
+    "each member's full pair/survivor output hash-verified in one "
+    "driver row. Members stay registered as the user-facing API.",
+    tags=("dedup", "suite"),
+)
+def d_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search family — exact top-k, LSH ANN, IVF ANN in one row
+# ---------------------------------------------------------------------------
+
+_SIM_SCHEMA = [("id1", "long"), ("id2", "long"), ("num1", "double"),
+               ("n", "long")]
+_sim_oracle, _sim_fn = _suite(
+    _SIM_SCHEMA,
+    [
+        ("cosine_topk", "sim_cosine_topk",
+         {"id1": "q_id", "id2": "c_id", "num1": "cosine", "n": "rnk"}),
+        ("lsh_ann", "sim_lsh_ann",
+         {"id1": "q_id", "id2": "c_id", "num1": "cosine", "n": "rnk"}),
+        ("ivf_ann", "sim_ivf_ann",
+         {"id1": "q_id", "id2": "c_id", "num1": "cosine", "n": "rnk"}),
+    ],
+)
+
+
+@register(
+    "sim_ann_suite",
+    oracle=_sim_oracle,
+    doc="Similarity search composed: brute-force cosine top-k "
+    "baseline, deterministic multi-table hyperplane-LSH ANN, and "
+    "IVF centroid+probe ANN — full (query, candidate, cosine, rank) "
+    "outputs of all three hash-verified in one driver row.",
+    tags=("similarity", "ann", "suite"),
+)
+def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal family — decode, payload stats, resize plan, frame
+# sampling in one driver row
+# ---------------------------------------------------------------------------
+
+_MM_SCHEMA = [("id1", "long"), ("n1", "long"), ("n2", "long"),
+              ("n3", "long"), ("n4", "long"), ("str1", "string")]
+_mm_oracle, _mm_fn = _suite(
+    _MM_SCHEMA,
+    [
+        ("decode_metadata", "mm_decode_metadata",
+         {"id1": "doc_id", "n1": "n_bytes", "n2": "width", "n3": "height",
+          "n4": "n_frames", "str1": "modality"}),
+        ("payload_stats", "mm_payload_stats",
+         {"str1": "source", "n1": "n_docs", "n2": "total_bytes",
+          "n3": "max_bytes"}),
+        ("resize_plan", "mm_resize_plan",
+         {"id1": "doc_id", "n1": "width", "n2": "height", "n3": "out_w",
+          "n4": "out_h"}),
+        ("frame_sample", "mm_frame_sample",
+         {"id1": "doc_id", "n1": "frame_idx", "n2": "byte_offset"}),
+    ],
+)
+
+
+@register(
+    "mm_multimodal_suite",
+    oracle=_mm_oracle,
+    doc="Multimodal family composed: binary-payload metadata decode "
+    "(Arrow mapInPandas), per-source payload stats, aspect-preserving "
+    "resize planning, and uniform frame sampling — full member "
+    "outputs hash-verified in one driver row.",
+    tags=("multimodal", "suite"),
+)
+def mm_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family — stats, language-ID, tokens, fingerprint
+# ---------------------------------------------------------------------------
+
+_TEXT_SCHEMA = [("id1", "long"), ("n1", "long"), ("n2", "long"),
+                ("num1", "double"), ("num2", "double"), ("num3", "double"),
+                ("num4", "double"), ("str1", "string"), ("str2", "string"),
+                ("str3", "string")]
+_text_oracle, _text_fn = _suite(
+    _TEXT_SCHEMA,
+    [
+        ("text_stats", "t_text_stats",
+         {"id1": "doc_id", "n1": "n_chars_m", "n2": "n_words",
+          "num1": "avg_word_len", "num2": "punct_ratio",
+          "num3": "stopword_ratio", "num4": "quality"}),
+        ("language_id", "t_language_id",
+         {"id1": "doc_id", "str1": "labeled_lang", "str2": "detected_lang"}),
+        ("token_count", "t_token_count",
+         {"id1": "doc_id", "n1": "ws_tokens", "n2": "bpe_tokens",
+          "num1": "chars_per_token"}),
+        ("fingerprint", "t_fingerprint",
+         {"id1": "doc_id", "str1": "fp_full", "str2": "fp_prefix",
+          "str3": "fp_suffix"}),
+    ],
+)
+
+
+@register(
+    "t_text_suite",
+    oracle=_text_oracle,
+    doc="Text-analysis family composed: quality stats "
+    "(length/punct/stopword ratios), n-gram-heuristic language ID, "
+    "whitespace + BPE-ish token counting, rolling-hash document "
+    "fingerprinting — full member outputs hash-verified in one row.",
+    tags=("text", "suite"),
+)
+def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar/feature functions — F1-F10 + M5 in one driver row
+# ---------------------------------------------------------------------------
+
+_FS_SCHEMA = [("id1", "long"), ("id2", "long"), ("n1", "long"),
+              ("n2", "long"), ("n3", "long"), ("num1", "double"),
+              ("num2", "double"), ("num3", "double"), ("num4", "double"),
+              ("num5", "double"), ("str1", "string"), ("str2", "string")]
+_fs_oracle, _fs_fn = _suite(
+    _FS_SCHEMA,
+    [
+        ("fillna", "f_fillna_constants",
+         {"id1": "p_partkey", "n1": "size_filled", "str1": "brand_filled"}),
+        ("geometry", "f_geometry_dims",
+         {"id1": "p_partkey", "n1": "l", "n2": "w", "n3": "h",
+          "num1": "volume", "num2": "surface", "num3": "perimeter"}),
+        ("date_parts", "f_date_parts_offsets",
+         {"id1": "o_orderkey", "n1": "y_id", "n2": "m_id", "n3": "d_id"}),
+        ("yyyymm", "f_yyyymm_parse",
+         {"id1": "o_orderkey", "str1": "cast(month_start as string)"}),
+        ("json_map", "f_json_map_extract",
+         {"id1": "event_id", "num1": "last_adjust",
+          "num2": "effective_value"}),
+        ("datediff", "f_datediff",
+         {"id1": "l_orderkey", "id2": "l_linenumber",
+          "n1": "ship_delay_days"}),
+        ("label_concat", "f_label_concat",
+         {"id1": "p_partkey", "str1": "brand_token", "str2": "type_token"}),
+        ("abs_rel_error", "f_abs_rel_error",
+         {"id1": "l_orderkey", "id2": "l_linenumber", "num1": "abs_err",
+          "num2": "rel_err"}),
+        ("elementwise", "f_elementwise_math",
+         {"id1": "c_custkey", "num1": "log_bal", "num2": "sqrt_bal",
+          "num3": "pow_bal", "num4": "tanh_bal", "num5": "sigmoid_bal"}),
+        ("cyclic_time", "f_cyclic_time_features",
+         {"id1": "o_orderkey", "num1": "month_sin", "num2": "month_cos",
+          "num3": "day_sin", "num4": "day_cos"}),
+    ],
+)
+
+
+@register(
+    "f_scalar_suite",
+    oracle=_fs_oracle,
+    doc="F1-F10 + M5 composed: constant imputation, geometry parse, "
+    "date parts, yyyyMM parse, JSON price-map extract, datediff, "
+    "label concat, abs/rel error, elementwise math, cyclic time "
+    "features — full member outputs hash-verified in one driver row "
+    "(reference src/utils.py:100-304, preprocess.py:34-96).",
+    tags=("F1", "F2", "F3", "F4", "F5", "F6", "F7", "F9", "F10", "M5",
+          "E5", "suite"),
+)
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fs_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 encode/normalize — E1-E3 + A3/A4 + M6 in one driver row
+# ---------------------------------------------------------------------------
+
+_ENC_SCHEMA = [("id1", "long"), ("id2", "long"), ("n1", "long"),
+               ("n2", "long"), ("num1", "double"), ("num2", "double"),
+               ("num3", "double"), ("str1", "string"), ("str2", "string")]
+_enc_oracle, _enc_fn = _suite(
+    _ENC_SCHEMA,
+    [
+        ("dictionary", "e_dictionary_build",
+         {"str1": "name", "str2": "value", "id1": "token_id"}),
+        ("vectorize", "e_vectorize_rows",
+         {"id1": "l_orderkey", "id2": "l_linenumber", "n1": "brand_id",
+          "n2": "y_id", "num1": "qty", "num2": "target"}),
+        ("normalize_roundtrip", "a_normalize_roundtrip",
+         {"id1": "c_custkey", "num1": "zscore", "num2": "minmax",
+          "num3": "denorm"}),
+    ],
+)
+
+
+@register(
+    "e_encode_suite",
+    oracle=_enc_oracle,
+    doc="E1-E3 + A3/A4 + M6 composed: ordered vocabulary build with "
+    "reverse lookup, row vectorization via dictionary joins, and "
+    "z-score/min-max normalize-denormalize roundtrip — full member "
+    "outputs hash-verified in one driver row "
+    "(reference src/data.py:131-182, src/utils.py:60-83).",
+    tags=("E1", "E2", "E3", "A3", "A4", "M6", "suite"),
+)
+def e_encode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enc_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 graph — triples, TransE scoring, filtered ranking in one row
+# (g_bidirectional_mrr keeps its own slot: it is the composed
+# evaluate.py-parity query)
+# ---------------------------------------------------------------------------
+
+_GR_SCHEMA = [("id1", "long"), ("id2", "long"), ("id3", "long"),
+              ("num1", "double"), ("num2", "double")]
+_gr_oracle, _gr_fn = _suite(
+    _GR_SCHEMA,
+    [
+        ("triple_build", "g_triple_build",
+         {"id1": "head", "id2": "rel", "id3": "tail"}),
+        ("transe_score", "g_transe_score",
+         {"id1": "src_id", "id2": "dst_id", "num1": "dot_score",
+          "num2": "diff_score"}),
+        ("filtered_ranking", "g_filtered_ranking",
+         {"id1": "q_id", "id2": "c_id", "id3": "rnk", "num1": "score"}),
+    ],
+)
+
+
+@register(
+    "g_graph_suite",
+    oracle=_gr_oracle,
+    doc="G1/G5/G6 composed: melt+self-join triple build, "
+    "dot/diff TransE-style scoring over embeddings, and "
+    "anti-join-filtered candidate ranking — full member outputs "
+    "hash-verified in one driver row "
+    "(reference src/graph.py:17-53, src/evaluate.py:105-176).",
+    tags=("G1", "G5", "G6", "suite"),
+)
+def g_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gr_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Event analytics — cohort retention + ordered funnel in one row
+# ---------------------------------------------------------------------------
+
+_EV_SCHEMA = [("str1", "string"), ("n1", "long"), ("n2", "long"),
+              ("n3", "long")]
+_ev_oracle, _ev_fn = _suite(
+    _EV_SCHEMA,
+    [
+        ("cohort_retention", "ev_cohort_retention",
+         {"str1": "cast(cohort_d as string)", "n1": "day_offset",
+          "n2": "n_users"}),
+        ("funnel", "ev_funnel_conversion",
+         {"n1": "n_signup", "n2": "n_click_after_signup",
+          "n3": "n_purchase_after_click"}),
+    ],
+)
+
+
+@register(
+    "ev_analytics_suite",
+    oracle=_ev_oracle,
+    doc="Event analytics composed: daily cohort retention matrix and "
+    "ordered signup→click→purchase funnel — full member outputs "
+    "hash-verified in one driver row.",
+    tags=("events-analytics", "suite"),
+)
+def ev_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 classification/ranking metrics — A14 macro-F1 + A15 MRR/Hits@k
+# ---------------------------------------------------------------------------
+
+_MC_SCHEMA = [("num1", "double"), ("num2", "double"), ("num3", "double"),
+              ("num4", "double"), ("n1", "long")]
+_mc_oracle, _mc_fn = _suite(
+    _MC_SCHEMA,
+    [
+        ("macro_f1", "m_macro_f1", {"num1": "macro_f1"}),
+        ("mrr_hits", "m_mrr_hits",
+         {"num1": "mrr", "num2": "hits1", "num3": "hits3",
+          "num4": "hits10", "n1": "n_targets"}),
+    ],
+)
+
+
+@register(
+    "m_classification_suite",
+    oracle=_mc_oracle,
+    doc="A14 + A15 composed: macro F1 via confusion-matrix "
+    "groupBy(y, yhat) (no class crossJoin) and MRR/Hits@{1,3,10} "
+    "over per-query rank windows — hash-verified in one driver row "
+    "(reference src/evaluate.py:60-96,122-197).",
+    tags=("A14", "A15", "suite"),
+)
+def m_classification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mc_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H scalar shapes — Q6/Q14/Q17/Q19 (single-row outputs) in one row
+# ---------------------------------------------------------------------------
+
+_TS_SCHEMA = [("num1", "double")]
+_ts_oracle, _ts_fn = _suite(
+    _TS_SCHEMA,
+    [
+        ("q6_revenue", "tpch_q6_revenue_forecast", {"num1": "revenue"}),
+        ("q14_promo", "tpch_q14_promo_revenue", {"num1": "promo_revenue"}),
+        ("q17_small_qty", "tpch_q17_small_quantity_revenue",
+         {"num1": "avg_yearly"}),
+        ("q19_discounted", "tpch_q19_discounted_revenue",
+         {"num1": "revenue"}),
+    ],
+)
+
+
+@register(
+    "tpch_scalar_suite",
+    oracle=_ts_oracle,
+    doc="TPC-H scalar-output shapes composed: Q6 revenue forecast, "
+    "Q14 promo-revenue ratio, Q17 small-quantity avg-yearly, Q19 "
+    "three-branch discounted revenue — the four single-row queries "
+    "hash-verified in one driver row.",
+    tags=("tpch", "suite"),
+)
+def tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.10/§2.11 ML pipelines — rows-only summary (MLlib fits have no
+# cross-engine oracle; per-fit determinism pinned in pytest)
+# ---------------------------------------------------------------------------
+
+_ML_MEMBERS = (
+    ("graph_propagate", "ml_graph_propagate"),
+    ("word2vec", "ml_word2vec_embeddings"),
+    ("gbt_regression", "ml_gbt_price_regression"),
+    ("logreg_classifier", "ml_logreg_sold_classifier"),
+    ("multitask_bundle", "ml_multitask_bundle"),
+    ("scaler", "ml_scaler_fit_transform"),
+    ("train_val_select", "ml_train_validation_select"),
+)
+
+
+@register(
+    "ml_pipeline_suite",
+    oracle=None,  # MLlib fits: no cross-engine oracle by design
+    doc="M1-M7 + G4 composed (rows-only): mean-aggregation message "
+    "passing, Word2Vec embedding pretrain, GBT price regression, "
+    "logistic sold classifier, multi-task bundle, scaler "
+    "fit/transform, train/validation model selection — one "
+    "deterministic count row per member pipeline; output values are "
+    "pinned per-fit in tests/test_graph_embed.py and "
+    "tests/test_car_pipeline.py (reference src/model.py, train.py, "
+    "second.py:118-151).",
+    tags=("M1", "M2", "M3", "M4", "M6", "M7", "G4", "suite"),
+)
+def ml_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for op, qname in _ML_MEMBERS:
+        piece = (
+            REGISTRY[qname].fn(spark, sf_dir)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(op).alias("op"), F.col("n").cast("long"))
+        )
+        out = piece if out is None else out.unionByName(piece)
+    assert out is not None
+    return out
+
+
 # keep linters honest about the re-exported modules used in mappings
-_ = (TP, STW)
+_ = (TP, STW, AN, G, M, TM, FD, FM, FSC, FSI, FT, MLG, MLP)

@@ -103,17 +103,20 @@ def oracle_davg(expr: str, alias: str) -> str:
     )
 
 
-# The correctness driver verifies a bounded PREFIX of the registry
-# (50 entries in round 1), so ordering is evidence policy: this list
-# pins the first 50 slots to the queries that most need a fresh
-# driver row this round — composed suites covering every §2 operator
-# family that lacked r01 evidence, all 22 TPC-H shapes, queries whose
-# implementation changed, and the highest-value re-verifications.
-# Everything else keeps its registration order after the prefix (it
-# remains user-facing API, verified by tests/test_oracle_parity.py,
-# with prior-round driver rows on disk in CORRECTNESS_r01.json).
-# COVERAGE.md maps §2 operator -> covering query + evidence round.
-DRIVER_PRIORITY: tuple[str, ...] = (
+# The correctness driver verifies a bounded number of registered
+# queries (exactly the first 50 in round 1), so the driver-facing
+# surface (__spark_entry__.queries()) is pinned to EXACTLY 50
+# queries that collectively cover every SURVEY.md §2 operator:
+# composed per-family suites (operators/suites.py — each UNIONs the
+# full output rows of its member operators, so one driver row
+# hash-verifies every member) plus the flagship, the specialty
+# joins/aggregates, and all 22 TPC-H shapes (18 individual + the
+# 4 scalar-output shapes composed). Fine-grained member queries stay
+# registered as the user-facing API — bench/plan-audit/pytest run the
+# full registry — and COVERAGE.md maps §2 operator -> covering
+# driver query. Only r_seeded_suite and ml_pipeline_suite are
+# rows-only (seeded RNG / MLlib fits: no cross-engine oracle).
+DRIVER_SURFACE: tuple[str, ...] = (
     "flagship_revenue_by_priority",
     "rel_projection_suite",
     "rel_join_suite",
@@ -129,52 +132,53 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "r_deterministic_suite",
     "r_seeded_suite",
     "m_regression_suite",
-    "m_macro_f1",
-    "m_mrr_hits",
+    "m_classification_suite",
     "g_bidirectional_mrr",
     "car_pipeline_e2e",
     "st_batch_semantics_suite",
     "d_minhash_lsh",
     "d_simhash",
+    "d_dedup_suite",
+    "sim_ann_suite",
+    "mm_multimodal_suite",
+    "t_text_suite",
+    "f_scalar_suite",
+    "e_encode_suite",
+    "g_graph_suite",
+    "ev_analytics_suite",
+    "ml_pipeline_suite",
+    "s_tsv_parse_ragged",
+    "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q12_priority_shipping",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
+    "tpch_q18_large_orders",
     "tpch_q20_excess_volume_supplier",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_forecast",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "ml_graph_propagate",
-    "s_tsv_parse_ragged",
-    "e_dictionary_build",
-    "e_vectorize_rows",
-    "a_normalize_roundtrip",
-    "ev_cohort_retention",
+    "tpch_scalar_suite",
 )
 
 
 def _ordered() -> list[str]:
-    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
-    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
-    rest = [n for n in REGISTRY if n not in set(DRIVER_PRIORITY)]
-    return list(DRIVER_PRIORITY) + rest
+    missing = [n for n in DRIVER_SURFACE if n not in REGISTRY]
+    assert not missing, f"DRIVER_SURFACE names not registered: {missing}"
+    rest = [n for n in REGISTRY if n not in set(DRIVER_SURFACE)]
+    return list(DRIVER_SURFACE) + rest
 
 
 def queries() -> dict[str, QueryFn]:
+    """Full registered surface (driver-surface names first)."""
     _bootstrap()
     return {name: REGISTRY[name].fn for name in _ordered()}
 
@@ -184,6 +188,21 @@ def oracles() -> dict[str, str]:
     return {
         name: REGISTRY[name].oracle
         for name in _ordered()
+        if REGISTRY[name].oracle is not None
+    }
+
+
+def driver_surface() -> dict[str, QueryFn]:
+    """Exactly the 50 driver-verified queries (see DRIVER_SURFACE)."""
+    _bootstrap()
+    return {name: REGISTRY[name].fn for name in DRIVER_SURFACE}
+
+
+def driver_oracles() -> dict[str, str]:
+    _bootstrap()
+    return {
+        name: REGISTRY[name].oracle
+        for name in DRIVER_SURFACE
         if REGISTRY[name].oracle is not None
     }
 
