@@ -33,6 +33,7 @@ def propagate(
     edges: DataFrame,          # (src long, rel long, dst long)
     n_layers: int = 2,
     self_weight: float = 0.5,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Iterative mean-aggregation message passing.
 
@@ -43,7 +44,12 @@ def propagate(
     Deterministic (mean via exact count + per-dimension sum of gated
     features; summation order inside a dimension is engine-managed but
     the test fixture uses exactly-representable values).
+
+    ``n_dims`` (feature width) is read off the first node row when not
+    given — one tiny driver action before the loop, never per-layer.
     """
+    if n_dims is None:
+        n_dims = len(nodes.select("feat").head()[0])
     gate = 1.0 / (1.0 + F.col("rel").cast("double"))
     feats = nodes
     for _ in range(n_layers):
@@ -54,23 +60,28 @@ def propagate(
                 F.transform("feat", lambda x: x * gate).alias("msg"),
             )
         )
-        # posexplode + groupBy(node, dim): per-task state is one
-        # partial-sum cell per (node, dim), so memory is O(1) in
-        # in-degree — a power-law hub with 10^8 in-edges costs the
-        # same task memory as a leaf. The per-node array is then
-        # reassembled from the per-dim sums, whose collect_list is
-        # bounded by the (fixed, small) feature dimension.
+        # One groupBy(node_id) with a sum per dimension column: the
+        # aggregate state per node is n_dims partial-sum cells + one
+        # count, so task memory is O(1) in in-degree — a power-law hub
+        # with 10^8 in-edges costs the same task memory as a leaf.
+        # No posexplode (row count stays |edges|, not |edges|·dims),
+        # no collect_list (hash aggregate stays in whole-stage
+        # codegen; list aggregation would force ObjectHashAggregate).
         agg = (
-            msgs.select("node_id", F.posexplode("msg").alias("dim", "v"))
-            .groupBy("node_id", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n_in"))
-            .groupBy("node_id")
+            msgs.groupBy("node_id")
             .agg(
-                F.max("n_in").alias("n_in"),
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
-                    lambda e: e["s"],
-                ).alias("sum_msg"),
+                F.count("*").alias("n_in"),
+                *[
+                    F.sum(F.col("msg").getItem(i)).alias(f"s{i}")
+                    for i in range(n_dims)
+                ],
+            )
+            .select(
+                "node_id",
+                "n_in",
+                F.array(*[F.col(f"s{i}") for i in range(n_dims)]).alias(
+                    "sum_msg"
+                ),
             )
         )
         feats = (
