@@ -461,8 +461,6 @@ _ND_BUCKET_SQL = f"""
 
 
 def _register_embedding_neardup() -> None:
-    from .similarity import _A, _M
-
     @register(
         "d_embedding_neardup",
         oracle=f"""
@@ -501,32 +499,15 @@ def _register_embedding_neardup() -> None:
         tags=("dedup", "embedding", "lsh"),
     )
     def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .similarity import plane_dots
+
         emb = load(spark, sf_dir, "embeddings")
-        if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-            # single small parquet file -> one task; the plane-dot agg is
-            # compute-bound, spread it. At cluster scale the scan already
-            # has many splits and this never fires. Partitioning on the
-            # group key also lets Catalyst elide the groupBy exchange.
-            emb = emb.repartition("vec_id")
 
-        # 48 hyperplane dots per vector in ONE codegen pass:
-        # posexplode to (vec_id, d, x), then sum(x * w(j,d)) per global
-        # plane j. Partial aggregation collapses map-side; a vector's
-        # rows stay contiguous in their partition, so each sum
-        # accumulates in dimension order — float-identical to the
-        # oracle's sequential list_sum fold.
-        ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
-        d = F.col("d").cast("long")
-
-        def plane_w(j: int):
-            return ((F.lit(j) * 64 + d) * _A % _M).cast("double") / _M - 0.5
-
-        dots = ex.groupBy("vec_id").agg(
-            *[
-                F.sum(F.col("x").cast("double") * plane_w(j)).alias(f"p{j}")
-                for j in range(ND_TABLES * ND_BITS)
-            ]
-        )
+        # 48 hyperplane dots per vector in ONE narrow Arrow stage
+        # (plane_dots): no explode row-multiplication, no groupBy
+        # shuffle; dimension-ordered accumulation keeps the sums
+        # float-identical to the oracle's sequential list_sum fold.
+        dots = plane_dots(emb, ND_TABLES * ND_BITS)
 
         # bucket of table t = OR of sign bits; the bits are disjoint
         # powers of two so plain + is the OR — pure codegen expressions
