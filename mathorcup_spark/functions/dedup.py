@@ -118,22 +118,37 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = wdf.select("doc_id", "source", shingles.alias("shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 20),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
+    return _id_window_join(sh).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def _id_window_join(sh: DataFrame, window: int = 20):
+    """Candidate pairs for the id-window contract: same ``source``,
+    ``a.doc_id < b.doc_id <= a.doc_id + window``.
+
+    Joining on ``source`` alone and filtering the window afterwards
+    scans O(n²/|sources|) pairs — quadratic in corpus size. Block
+    doc_ids into window-sized buckets and equi-join on
+    ``(source, block)``, with the left side emitting its block AND the
+    next (any in-window partner lives in one of the two): the join
+    stays a hash equi-join and examines O(window) partners per row at
+    any scale. Every qualifying pair matches exactly once (the
+    right side's block is unique), so no dedup pass is needed.
+    """
+    blk = F.expr(f"doc_id div {window}")
+    a = sh.withColumn("jb", F.explode(F.array(blk, blk + 1))).alias("a")
+    b = sh.withColumn("jb", blk).alias("b")
+    return a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.jb") == F.col("b.jb"))
+        & (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id") + window),
     )
 
 
@@ -352,22 +367,32 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explode + 64 per-bit vote sums (map-side partial agg), then OR
     # the positive bits together — same no-nested-HOF rationale as
     # d_minhash_lsh. Bit i of the word hash = bit (i%4) of hex digit
-    # i//4 of md5(word); instr over the hex alphabet decodes a digit
-    # identically on both engines.
-    exploded = docs.select(
-        "doc_id", "source", F.explode(words).alias("w")
-    ).withColumn("h", F.md5("w"))
+    # i//4 of md5(word), exactly the oracle's definition — but decoded
+    # here via TWO conv() calls per row (hex halves -> 32-bit ints)
+    # instead of 64 substr+instr string scans inside the aggregate:
+    # hex digit k (1-indexed) of a half is bits (8-k)*4..+3, so every
+    # vote is pure integer shift/mask arithmetic in codegen.
+    exploded = (
+        docs.select("doc_id", "source", F.explode(words).alias("w"))
+        .withColumn("h", F.md5("w"))
+        .select(
+            "doc_id",
+            "source",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+    )
+
+    def bit(i: int):
+        k = i // 4 + 1  # hex digit 1..16 across the 32-char hex string
+        shift = i % 4
+        half, kk = ("hi", k) if k <= 8 else ("lo", k - 8)
+        digit = F.shiftright(F.col(half), (8 - kk) * 4).bitwiseAND(15)
+        return F.shiftright(digit, shift).bitwiseAND(1)
+
     votes = exploded.groupBy("doc_id", "source").agg(
         *[
-            F.sum(
-                F.when(
-                    F.expr(
-                        f"shiftright(instr('0123456789abcdef',"
-                        f" substr(h, {i // 4 + 1}, 1)) - 1, {i % 4}) % 2 = 1"
-                    ),
-                    1,
-                ).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
         ]
     )
@@ -384,20 +409,11 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc.bitwiseOR(x),
     )
     sh = votes.select("doc_id", "source", simhash.alias("simhash"))
-    a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 20),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("long").alias("hamming"),
-        )
+    return _id_window_join(sh).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        hamming.cast("long").alias("hamming"),
     )
 
 
@@ -546,16 +562,18 @@ def _register_embedding_neardup() -> None:
             F.col("t").alias("ct"),
             F.col("bucket").alias("cb"),
         )
-        cand = (
-            a.join(
-                c,
-                (F.col("t") == F.col("ct"))
-                & (F.col("bucket") == F.col("cb"))
-                & (F.col("vec_b") > F.col("vec_a")),
-            )
-            .select("vec_a", "vec_b")
-            .dropDuplicates()
-        )
+        # NOTE deliberately no dropDuplicates here: a pair colliding
+        # in k tables is scored k times (identical rounded cosine) and
+        # deduplicated AFTER the tau filter, where the survivor set is
+        # tiny. Deduplicating 10^7 candidate rows first costs a full
+        # extra shuffle that dwarfs the redundant (Arrow-vectorized)
+        # dot products.
+        cand = a.join(
+            c,
+            (F.col("t") == F.col("ct"))
+            & (F.col("bucket") == F.col("cb"))
+            & (F.col("vec_b") > F.col("vec_a")),
+        ).select("vec_a", "vec_b")
         # Arrow-batched pair scoring: at sf0.1 the candidate set is
         # ~100k pairs; an interpreted zip_with/aggregate fold costs
         # ~30s where this vectorized UDF takes <1s. The loop accumulates
@@ -585,20 +603,35 @@ def _register_embedding_neardup() -> None:
         }
         _pair_dot = F.pandas_udf(_pair_dot_fn, "double")
 
+        # broadcast the unit-vector attach: the vector table is
+        # index-sized (N x dims doubles), marginally above the 10MB
+        # autoBroadcast default here — without the hint both attaches
+        # shuffle the full candidate-pair stream
         scored = (
             cand.join(
-                unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")),
+                F.broadcast(
+                    unit.select(
+                        F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")
+                    )
+                ),
                 "vec_a",
             )
             .join(
-                unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")),
+                F.broadcast(
+                    unit.select(
+                        F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")
+                    )
+                ),
                 "vec_b",
             )
             .select(
                 "vec_a", "vec_b", F.round(_pair_dot("ua", "ub"), 6).alias("cosine")
             )
         )
-        return scored.filter(F.col("cosine") >= NEARDUP_TAU)
+        return (
+            scored.filter(F.col("cosine") >= NEARDUP_TAU)
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
 
 
 _register_embedding_neardup()
