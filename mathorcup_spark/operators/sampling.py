@@ -242,3 +242,86 @@ def r_subgraph_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst", "src_local", "dst_local")
     )
+
+
+# --- deterministic hash-uniform sampling ------------------------------------
+#
+# u(key) in [0, 1): the first 8 hex digits of md5(key) decoded to a
+# 32-bit int, divided by 2^32. Spark decodes with conv(); the DuckDB
+# oracle decodes digit-by-digit with instr over the hex alphabet (the
+# decode both engines share, same trick as d_simhash's oracle) — the
+# integers are equal, so the IEEE division is too. A hash-uniform
+# gives sampling that is reproducible across engines, runs, partition
+# layouts, AND cluster sizes — none of which holds for rand(seed).
+
+_POW16 = [16 ** (7 - i) for i in range(8)]
+
+
+def _hash_u(key) -> F.Column:
+    u32 = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return u32.cast("double") / F.lit(4294967296.0)
+
+
+def _hash_u_sql(key_expr: str) -> str:
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(CAST({key_expr} AS VARCHAR)),"
+        f" {i + 1}, 1)) - 1) * {_POW16[i]}"
+        for i in range(8)
+    )
+    return f"(CAST({digits} AS DOUBLE) / 4294967296.0)"
+
+
+@register(
+    "r_stratified_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY {_hash_u_sql('o_orderkey')}, o_orderkey) AS rn
+      FROM orders) _s WHERE rn <= 200
+    """,
+    doc="Stratified exact-n sampling: exactly 200 orders per "
+    "o_orderpriority stratum, chosen by hash-uniform order (md5-derived "
+    "u in [0,1), key tie-break) — the class-balancing sampler a "
+    "training pipeline runs before fitting on skewed labels. One "
+    "shuffle on the stratum key; per-stratum top-n via rank window, "
+    "reproducible across engines, partition layouts, and cluster "
+    "sizes (rand(seed) is none of these).",
+    tags=("R3", "R6", "sampling"),
+)
+def r_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        _hash_u(F.col("o_orderkey")), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "r_weighted_sample",
+    oracle=f"""
+    WITH m AS (SELECT max(p_retailprice) AS mx FROM part)
+    SELECT p_partkey, p_retailprice FROM part, m
+    WHERE {_hash_u_sql('p_partkey')} * m.mx < p_retailprice
+    """,
+    doc="Weighted Bernoulli sampling: keep each part with probability "
+    "proportional to p_retailprice (u * max_weight < weight) — "
+    "importance sampling for value-weighted training corpora. The "
+    "max-weight normalizer is one scalar aggregate broadcast back; "
+    "the keep decision is a per-row hash comparison, embarrassingly "
+    "parallel and reproducible at any scale.",
+    tags=("R3", "sampling"),
+)
+def r_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    mx = part.agg(F.max("p_retailprice").alias("mx"))
+    return (
+        part.crossJoin(F.broadcast(mx))
+        .filter(_hash_u(F.col("p_partkey")) * F.col("mx") < F.col("p_retailprice"))
+        .select("p_partkey", "p_retailprice")
+    )
