@@ -159,3 +159,64 @@ def st_earliest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("first_ts"), F.count("*").alias("n_dups")
     )
+
+
+def signup_click_join(signups: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Per-user interval join: every click within 10 minutes AFTER a
+    signup, with the delay in microseconds.
+
+    One definition for both modes: in batch it is an equi-join on
+    user_id with a time-range filter; on two watermarked streams the
+    same condition is exactly the event-time constraint Spark needs
+    to bound stream-stream join state (tests/test_streaming.py runs
+    it genuinely streaming, append mode)."""
+    s = signups.select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        s.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("s_ts"))
+            & (F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "signup_id",
+            "click_id",
+            (F.unix_micros("c_ts") - F.unix_micros("s_ts")).alias("delay_us"),
+        )
+    )
+
+
+@register(
+    "st_interval_join",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts
+               FROM events WHERE event_type = 'signup'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+               FROM events WHERE event_type = 'click')
+    SELECT s.user_id, signup_id, click_id,
+           epoch_us(c_ts) - epoch_us(s_ts) AS delay_us
+    FROM s JOIN c ON c.user_id = s.user_id
+       AND c_ts >= s_ts AND c_ts <= s_ts + INTERVAL 10 MINUTE
+    """,
+    doc="Stream-stream interval join, batch face: clicks within 10 "
+    "minutes after a signup per user, delay in micros. The time-range "
+    "condition doubles as the state bound when both sides are "
+    "watermarked streams — the same builder runs genuinely streaming "
+    "in tests/test_streaming.py. Shuffles on user_id only; per-key "
+    "state is bounded by the interval at any scale.",
+    tags=("streaming", "join", "temporal"),
+)
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return signup_click_join(
+        events.filter(F.col("event_type") == "signup"),
+        events.filter(F.col("event_type") == "click"),
+    )

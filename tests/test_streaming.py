@@ -143,3 +143,39 @@ def test_apply_in_pandas_with_state(spark, event_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark, event_dir):
+    """Two watermarked streams, inner interval join, append mode —
+    the genuinely streaming face of st_interval_join."""
+    signups = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(event_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "30 minutes")
+    )
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(event_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+    )
+    q = (
+        sw.signup_click_join(signups, clicks)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_interval_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_interval_join").collect()
+    finally:
+        q.stop()
+    batch = spark.read.parquet(event_dir)
+    want = sw.signup_click_join(
+        batch.filter(F.col("event_type") == "signup"),
+        batch.filter(F.col("event_type") == "click"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
