@@ -1,0 +1,133 @@
+"""Composed corpus preparation (SURVEY.md §2.13): the LLM-data
+analogue of the car pipeline — raw documents → quality filter →
+exact-dedup survivors → token budget, as ONE single-scan plan.
+
+This is the end-to-end shape a training-data pipeline actually runs:
+every per-document feature (quality heuristic, language ID, BPE-ish
+token count, normalized-content hash) is a narrow expression computed
+in one pass over the scan, the dedup survivor choice is one window
+over the content hash, and the only shuffle in the whole plan is that
+window's hash partitioning. Mirrors the member operators
+``t_text_stats`` / ``t_language_id`` / ``t_token_count`` /
+``d_dedup_survivors`` expression-for-expression (same constants, same
+tie-breaks), so their individual oracles stay the unit evidence while
+this query verifies the composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+from .dedup import _norm_text
+from .text import _TOKEN_RE, STOPWORDS, _stop_hits, _ws_words
+
+MIN_QUALITY = 0.3
+MIN_WORDS = 5
+
+_STOP_EN = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+_LANG_HITS = {
+    lang: (
+        "len(list_filter(lwords, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in ws)
+        + "], x)))"
+    )
+    for lang, ws in STOPWORDS.items()
+}
+_LANG_CASE = (
+    "CASE "
+    + " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in STOPWORDS)
+    + " END"
+)
+
+
+@register(
+    "corpus_prep_e2e",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS words,
+             string_split_regex(lower(trim(text)), '\\s+') AS lwords,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             CAST(len(words) AS INTEGER) AS n_words,
+             CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INTEGER)
+               AS bpe_tokens,
+             round(least(1.0, len(words) / 100.0)
+                   * (1 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                               AS DOUBLE) / length(text))
+                   * (0.5 + 0.5 * CAST(len(list_filter(words,
+                         x -> list_contains([{_STOP_EN}], x)))
+                         AS DOUBLE) / len(words)), 6) AS quality,
+             greatest({", ".join(_LANG_HITS[lang] for lang in STOPWORDS)}) AS best,
+             {", ".join(f"{_LANG_HITS[lang]} AS hits_{lang}" for lang in STOPWORDS)},
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM feat
+    )
+    SELECT doc_id, source,
+           CASE WHEN best = 0 THEN 'unknown' ELSE {_LANG_CASE} END
+             AS detected_lang,
+           n_words, bpe_tokens, quality
+    FROM scored
+    WHERE rn = 1 AND quality >= {MIN_QUALITY} AND n_words >= {MIN_WORDS}
+    """,
+    doc="End-to-end corpus preparation: quality scoring + language ID "
+    "+ BPE-ish token budget + exact-dedup survivor selection composed "
+    "into one single-scan plan whose only shuffle is the survivor "
+    "window on the content hash. The train-ready output a 100 TB "
+    "pipeline would write back partitioned by (detected_lang, "
+    "source). Composes t_text_stats/t_language_id/t_token_count/"
+    "d_dedup_survivors semantics exactly (same constants and "
+    "tie-breaks).",
+    tags=("text", "dedup", "quality", "pipeline"),
+)
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _ws_words()
+    lwords = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    punct = (
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double") / n_chars
+    )
+    stop_ratio = _stop_hits(words, "en").cast("double") / n_words
+    quality = F.round(
+        F.least(F.lit(1.0), n_words / 100.0) * (1 - punct) * (0.5 + 0.5 * stop_ratio),
+        6,
+    )
+    hits = {
+        lang: F.size(F.filter(lwords, lambda w: w.isin(STOPWORDS[lang])))
+        for lang in STOPWORDS
+    }
+    best = F.greatest(*hits.values())
+    detected = F.when(best == 0, "unknown")
+    for lang in STOPWORDS:
+        detected = detected.when(hits[lang] == best, lang)
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
+
+    feat = docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        bpe.alias("bpe_tokens"),
+        quality.alias("quality"),
+        detected.alias("detected_lang"),
+        F.md5(_norm_text()).alias("h"),
+    )
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    return (
+        feat.withColumn("rn", rn)
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("quality") >= MIN_QUALITY)
+            & (F.col("n_words") >= MIN_WORDS)
+        )
+        .select(
+            "doc_id", "source", "detected_lang", "n_words", "bpe_tokens", "quality"
+        )
+    )
