@@ -72,6 +72,10 @@ HEADLINE = [
     "m_regression_suite",
     "g_bidirectional_mrr",
     "car_pipeline_e2e",
+    "corpus_prep_e2e",
+    "st_interval_join",
+    "r_stratified_sample",
+    "d_ngram_jaccard",
 ]
 
 

@@ -103,6 +103,15 @@ EXPECT: dict[str, dict] = {
     # of 1-row aggregates — BroadcastNestedLoopJoin over single rows
     # is the correct (and only) plan for scalar assembly
     "ev_funnel_conversion": {"bnlj_ok": True},
+    # single scan of documents, one shuffle (survivor window on the
+    # content hash) — the whole point of the composed plan
+    "corpus_prep_e2e": {},
+    "st_interval_join": {"pushed": "event_type"},
+    "r_stratified_sample": {},
+    # scalar max-weight normalizer joined conditionlessly to every
+    # row — 1-row BroadcastNestedLoopJoin is the scalar-subquery plan
+    "r_weighted_sample": {"bnlj_ok": True},
+    "d_ngram_jaccard": {},
 }
 
 
