@@ -547,15 +547,6 @@ def _register_embedding_neardup() -> None:
             ).alias("tb"),
         ).select("vec_id", "tb.t", "tb.bucket")
 
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
-        unit = emb.withColumn(
-            "e", F.transform("embedding", lambda x: x.cast("double"))
-        ).select("vec_id", F.transform("e", lambda x: x / nrm).alias("u"))
-
         a = tables.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
         c = tables.select(
             F.col("vec_id").alias("vec_b"),
@@ -574,59 +565,56 @@ def _register_embedding_neardup() -> None:
             & (F.col("bucket") == F.col("cb"))
             & (F.col("vec_b") > F.col("vec_a")),
         ).select("vec_a", "vec_b")
-        # Arrow-batched pair scoring: at sf0.1 the candidate set is
-        # ~100k pairs; an interpreted zip_with/aggregate fold costs
-        # ~30s where this vectorized UDF takes <1s. The loop accumulates
-        # dimension-by-dimension (64 vectorized adds), preserving the
-        # left-to-right summation order of the oracle's sequential fold
-        # so the rounded cosines stay bit-identical.
+        # Codebook-broadcast pair scoring: the candidate stream is
+        # ~10^7 (vec_a, vec_b) id pairs — attaching both 64-dim
+        # vectors to every pair ships ~1 KB/pair through Arrow (8 GB
+        # at sf1, and the allocation pressure made runtimes swing
+        # 2x). Instead collect the unit-normalized codebook ONCE
+        # (N x dims float64 — index-sized by the same argument that
+        # lets IVF broadcast its centroids), broadcast it, and let
+        # the UDF gather rows by id: pairs cost 16 bytes each. The
+        # dot loop accumulates dimension-by-dimension, and the norm
+        # is an ordered sum of squares, preserving the oracle's
+        # sequential-fold float semantics exactly. For corpora whose
+        # codebook outgrows a broadcast, fall back to the bucket-
+        # partitioned vectors/ layout in sources/ann_index.py.
         import numpy as np
         import pandas as pd
 
-        def _pair_dot_fn(ua, ub):
-            if len(ua) == 0:
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        x = np.array([r[1] for r in rows], dtype=np.float64)
+        sq = np.zeros(len(x))
+        for dim in range(x.shape[1]):
+            sq = sq + x[:, dim] * x[:, dim]
+        u = x / np.sqrt(sq)[:, None]
+        pos = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
+        pos[ids] = np.arange(len(ids))
+        b_u = spark.sparkContext.broadcast(u)
+        b_pos = spark.sparkContext.broadcast(pos)
+
+        def _pair_dot_fn(va, vb):
+            if len(va) == 0:
                 return pd.Series([], dtype="float64")
-            A = np.vstack(ua.to_numpy())
-            B = np.vstack(ub.to_numpy())
-            acc = np.zeros(len(A))
-            for dim in range(A.shape[1]):
-                acc = acc + A[:, dim] * B[:, dim]
+            ua = b_u.value[b_pos.value[va.to_numpy()]]
+            ub = b_u.value[b_pos.value[vb.to_numpy()]]
+            acc = np.zeros(len(ua))
+            for dim in range(ua.shape[1]):
+                acc = acc + ua[:, dim] * ub[:, dim]
             return pd.Series(acc)
 
         # real type objects, not strings: `from __future__ import
         # annotations` would leave pandas_udf unable to infer the
         # scalar eval type from stringified hints
         _pair_dot_fn.__annotations__ = {
-            "ua": pd.Series,
-            "ub": pd.Series,
+            "va": pd.Series,
+            "vb": pd.Series,
             "return": pd.Series,
         }
         _pair_dot = F.pandas_udf(_pair_dot_fn, "double")
 
-        # broadcast the unit-vector attach: the vector table is
-        # index-sized (N x dims doubles), marginally above the 10MB
-        # autoBroadcast default here — without the hint both attaches
-        # shuffle the full candidate-pair stream
-        scored = (
-            cand.join(
-                F.broadcast(
-                    unit.select(
-                        F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")
-                    )
-                ),
-                "vec_a",
-            )
-            .join(
-                F.broadcast(
-                    unit.select(
-                        F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")
-                    )
-                ),
-                "vec_b",
-            )
-            .select(
-                "vec_a", "vec_b", F.round(_pair_dot("ua", "ub"), 6).alias("cosine")
-            )
+        scored = cand.select(
+            "vec_a", "vec_b", F.round(_pair_dot("vec_a", "vec_b"), 6).alias("cosine")
         )
         return (
             scored.filter(F.col("cosine") >= NEARDUP_TAU)
