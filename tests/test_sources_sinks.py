@@ -93,3 +93,36 @@ def test_approx_count_distinct_accuracy(spark):
     assert rows
     for r in rows:
         assert r.within_5pct is True, (r.event_type, r.n_events)
+
+
+def test_jsonl_corrupt_routing(spark, tmp_path):
+    """read_jsonl: every input line lands on exactly one side —
+    parseable rows typed on good, mangled lines verbatim on bad."""
+    from pyspark.sql import types as T
+
+    from mathorcup_spark.sources.jsonl import read_jsonl
+
+    p = str(tmp_path / "events.jsonl")
+    lines = [
+        '{"event_id": 1, "user_id": 10, "value": 1.5}',
+        '{"event_id": 2, "user_id": 11, "value": 2.5}',
+        '{"event_id": 3, "user_id": 12, "value":',  # truncated write
+        "not json at all",
+        '{"event_id": 4, "user_id": 13, "value": 4.0}',
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    good, bad = read_jsonl(spark, p, schema)
+    assert sorted(r["event_id"] for r in good.collect()) == [1, 2, 4]
+    assert good.columns == ["event_id", "user_id", "value"]
+    bad_lines = sorted(r["line"] for r in bad.collect())
+    assert bad_lines == sorted([lines[2], lines[3]])
+    # caller's schema must not be mutated by the corrupt-column add
+    assert len(schema.fields) == 3
