@@ -179,3 +179,51 @@ def test_streaming_interval_join_matches_batch(spark, event_dir):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, event_dir, tmp_path):
+    """Stop a checkpointed file-source stream mid-corpus, add more
+    input, restart with the same checkpoint: the parquet sink must
+    hold every event exactly once (no re-processing, no loss)."""
+    import shutil
+    from pathlib import Path
+
+    src = tmp_path / "incoming"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    full = str(tmp_path / "full")
+    src.mkdir()
+    # re-materialize as multiple files so the feed can arrive in waves
+    spark.read.parquet(event_dir).repartition(4).write.parquet(full)
+    parts = sorted(Path(full).glob("*.parquet"))
+    assert len(parts) >= 2, "need multiple input files to split the feed"
+    half = len(parts) // 2
+    for p in parts[:half]:
+        shutil.copy(p, src / p.name)
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+        q = (
+            stream.select("event_id", "user_id", "event_type")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first > 0
+    for p in parts[half:]:
+        shutil.copy(p, src / p.name)
+    run_once()
+
+    got = spark.read.parquet(sink)
+    want = spark.read.parquet(full).select("event_id", "user_id", "event_type")
+    assert got.count() == want.count()  # nothing lost, nothing doubled
+    assert got.select("event_id").distinct().count() == want.count()
