@@ -1,0 +1,98 @@
+"""Simulate the correctness driver: run the EXACT driver surface
+(__spark_entry__.queries() / oracle_sql()) on Spark and DuckDB at a
+given SF dir (default sf0.01, the driver's SF) and compare row count,
+column names, and order-insensitive value hash — the same three
+signals CORRECTNESS_r{N}.json records.
+
+Usage: python tools/driver_check.py [sf_dir]
+Prints one line per query and a final summary; exit 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from mathorcup_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    spark = get_spark()
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures: list[str] = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # pragma: no cover - diagnostic path
+            print(f"FAIL {name}: spark error {exc!r}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ran  {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = duck.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # pragma: no cover - diagnostic path
+            print(f"FAIL {name}: oracle error {exc!r}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_rows = len(srows) == len(drows)
+        ok_vals = ok_cols and ok_rows and (
+            _norm_rows(scols, srows) == _norm_rows(dcols, drows)
+        )
+        status = "pass" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(drows)}"
+            f" cols={ok_cols} hash={ok_vals} ({time.time()-t0:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
