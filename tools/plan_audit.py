@@ -96,6 +96,9 @@ EXPECT: dict[str, dict] = {
     # centroid table — a broadcast nested loop over a constant-size
     # side is the intended, scale-safe plan (cost O(n·k), no shuffle).
     "sim_ivf_ann": {"bnlj_ok": True},
+    # recall@5 composes the exact baseline with both ANN paths; the
+    # IVF member carries its constant-size centroid BNLJ (see above)
+    "sim_ann_recall": {"bnlj_ok": True},
     "t_text_stats": {},
     "st_session_window": {},
     "ev_cohort_retention": {},
