@@ -4,7 +4,10 @@ given SF dir (default sf0.01, the driver's SF) and compare row count,
 column names, and order-insensitive value hash — the same three
 signals CORRECTNESS_r{N}.json records.
 
-Usage: python tools/driver_check.py [sf_dir]
+Usage: python tools/driver_check.py [sf_dir] [--all]
+With --all, checks the FULL fine-grained registry (142 queries)
+instead of the 50-query driver surface — a broader soak that catches
+scale-factor-dependent logic the sf0.001 pytest suite could hide.
 Prints one line per query and a final summary; exit 1 on any mismatch.
 """
 
@@ -43,11 +46,19 @@ def _norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    import __spark_entry__ as entry
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    full = "--all" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if full:
+        from mathorcup_spark import registry
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+        qs = registry.queries()
+        oracles = registry.oracles()
+    else:
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        oracles = entry.oracle_sql()
     spark = get_spark()
     duck = duckdb.connect()
     for t in TABLES:
