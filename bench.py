@@ -76,6 +76,7 @@ HEADLINE = [
     "st_interval_join",
     "r_stratified_sample",
     "d_ngram_jaccard",
+    "d_lsh_rescore_e2e",
 ]
 
 

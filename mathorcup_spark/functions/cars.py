@@ -196,11 +196,11 @@ def build_dictionary(
     src/data.py:152-159).
 
     Ids are dense, 0-based, ordered by (name, value) — the engine's
-    deterministic replacement for first-seen order. The domain is
-    vocabulary-sized, so the final single-partition window is safe at
-    any SF; everything before it is a distributed distinct.
+    deterministic replacement for first-seen order, assigned with the
+    range-partitioned ``dense_ids`` rank so the pipeline keeps working
+    when a high-cardinality column (vin, url, …) joins the dictionary.
     """
-    from pyspark.sql import Window as W
+    from ..ids import dense_ids
 
     columns = columns or DISCRETE_COLUMNS
     melted = None
@@ -215,10 +215,7 @@ def build_dictionary(
     if melted is None:
         raise ValueError("no requested columns present in any input")
     domain = melted.distinct()
-    return domain.withColumn(
-        "token_id",
-        (F.row_number().over(W.orderBy("name", "value")) - 1).cast("long"),
-    )
+    return dense_ids(domain, ["name", "value"], "token_id")
 
 
 def encode_columns(df: DataFrame, dictionary: DataFrame, columns: list[str]) -> DataFrame:

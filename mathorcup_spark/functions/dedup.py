@@ -166,8 +166,12 @@ _MH_P = 1_000_000_007
 _MH_A = [(48271 * (i + 1)) % _MH_P for i in range(N_HASHES)]
 _MH_B = [(69621 * (i * i + 1)) % _MH_P for i in range(N_HASHES)]
 
-_MINHASH_ORACLE = f"""
-    WITH sh AS (
+# Shared CTE chain: shingles → per-shingle 60-bit hash → 16 minhashes
+# → banded signatures → DISTINCT candidate pairs. d_minhash_lsh
+# selects the candidates directly; d_lsh_rescore_e2e joins them back
+# to the shingle sets for the exact-Jaccard rescore.
+_MINHASH_CTES = f"""
+    sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(words) - 2, 1) + 1),
@@ -197,12 +201,18 @@ _MINHASH_ORACLE = f"""
                AS bucket,
              sig
       FROM sig, range(0, 4) b(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             CAST(len(list_filter(range(1, 17), i -> a.sig[i] = c.sig[i]))
+                  AS DOUBLE) / 16 AS est_jaccard
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-           CAST(len(list_filter(range(1, 17), i -> a.sig[i] = c.sig[i]))
-                AS DOUBLE) / 16 AS est_jaccard
-    FROM banded a JOIN banded c
-      ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b, est_jaccard FROM cand
 """
 
 
@@ -222,30 +232,53 @@ _MINHASH_ORACLE = f"""
     tags=("dedup", "minhash", "lsh"),
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    return _minhash_candidates(sh)
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles): distinct word-3-gram shingle sets.
+
+    Tokenize BEFORE the repartition exchange: the shingle lambda
+    references the words array ~3x per index, and Catalyst's
+    CollapseProject would re-inline the regex split into every
+    reference (no CSE inside lambdas) — the exchange is a barrier
+    it cannot cross, so the split runs once per row.
+    """
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    # Tokenize BEFORE the repartition exchange: the shingle lambda
-    # references the words array ~3x per index, and Catalyst's
-    # CollapseProject would re-inline the regex split into every
-    # reference (no CSE inside lambdas) — the exchange is a barrier
-    # it cannot cross, so the split runs once per row.
     wdf = docs.select("doc_id", words.alias("words"))
     if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         # A small parquet file arrives as one partition, serializing
         # the compute-bound shingle build; at cluster scale the scan
         # already yields many splits and this branch never fires.
         wdf = wdf.repartition("doc_id")
-    shingles = _shingles(F.col("words"), 3)
-    # minhash_i = min over shingles of (a_i * x + b_i) mod P where x
-    # is the 60-bit prefix of md5(shingle) — one digest per shingle,
-    # then 16 integer multiply-adds (the salted-digest-per-
-    # permutation form measured 77s vs ~4s at sf0.1). Explode + 16
-    # min-aggregates, NOT a nested HOF: Catalyst has no common-
-    # subexpression elimination inside lambdas, so the HOF form
-    # rebuilds the shingle array once per permutation. Partial
-    # aggregation collapses the exploded rows map-side; the shuffle
-    # carries (doc_id, 16 longs) per document.
-    exploded = wdf.select("doc_id", F.explode(shingles).alias("shingle")).select(
+    return wdf.select("doc_id", _shingles(F.col("words"), 3).alias("shingles"))
+
+
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) MinHash-LSH candidate pairs from a
+    (doc_id, shingles) frame — the banded signature build + bucket
+    self-join shared by d_minhash_lsh and d_lsh_rescore_e2e.
+
+    minhash_i = min over shingles of (a_i * x + b_i) mod P where x
+    is the 60-bit prefix of md5(shingle) — one digest per shingle,
+    then 16 integer multiply-adds (the salted-digest-per-
+    permutation form measured 77s vs ~4s at sf0.1). Explode + 16
+    min-aggregates, NOT a nested HOF: Catalyst has no common-
+    subexpression elimination inside lambdas, so the HOF form
+    rebuilds the shingle array once per permutation. Partial
+    aggregation collapses the exploded rows map-side; the shuffle
+    carries (doc_id, 16 longs) per document.
+    """
+    # explode_outer, NOT explode: a plain explode lets Catalyst's
+    # InferFiltersFromGenerate add a (vacuously true — _shingles always
+    # yields >= 1 element) size(shingles) > 0 filter that predicate
+    # pushdown re-inlines below the repartition exchange, recomputing
+    # the whole tokenize+shingle pipeline per row inside a scan-side
+    # filter (measured 14x slower at sf0.1). outer generate infers no
+    # filter, and no shingle set is empty, so the rows are identical.
+    exploded = sh.select("doc_id", F.explode_outer("shingles").alias("shingle")).select(
         "doc_id",
         (
             F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
@@ -303,6 +336,55 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / N_HASHES).alias("est_jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+_LSH_RESCORE_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT cand.doc_a, cand.doc_b, cand.est_jaccard,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+"""
+
+
+@register(
+    "d_lsh_rescore_e2e",
+    oracle=_LSH_RESCORE_ORACLE,
+    doc="The corpus-wide near-dup pipeline a real dedup run executes, "
+    "composed end to end: MinHash-LSH banded candidate generation "
+    "(corpus-wide, no key bound — cost bounded by bucket collisions) "
+    "followed by an exact n-gram-Jaccard rescore of only the "
+    "candidate pairs. The shingle sets are built once and feed both "
+    "the signature build and the rescore joins; the rescore is two "
+    "hash equi-joins on doc_id attaching each side's shingle set, "
+    "then |A∩B| / |A∪B| per pair. Output: (doc_a, doc_b, "
+    "est_jaccard, jaccard) — the estimate and the exact score "
+    "side-by-side, which is also how you measure LSH recall drift "
+    "in production. Proves the contract alignment documented in "
+    "COVERAGE.md: LSH candidates in, scored pairs out. Reference "
+    "analog: the composed dedup semantics of src/utils.py:161-202.",
+    tags=("dedup", "minhash", "lsh", "jaccard", "e2e"),
+)
+def d_lsh_rescore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    cand = _minhash_candidates(sh)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
     )
 
 
@@ -505,13 +587,13 @@ def _register_embedding_neardup() -> None:
         "candidate pairs collide in any of 6 sign-LSH tables of 8 bits "
         "(equi-join on (table, bucket) -- never an all-pairs crossJoin), "
         "then one exact dot product over pre-unit-normalized vectors "
-        "confirms cosine >= tau. The 48 hyperplane projections are "
-        "computed as posexplode + partial sum-aggregation (whole-stage "
-        "codegen), not nested HOF lambdas (interpreted, ~10x slower); "
-        "pair scoring is an Arrow-batched pandas UDF with dimension-"
-        "order-preserving accumulation so results stay bit-identical "
-        "to the sequential-fold oracle. Pair order vec_a < vec_b "
-        "halves the candidate set.",
+        "confirms cosine >= tau. The 48 hyperplane projections run as "
+        "one narrow Arrow stage (plane_dots); pair rescoring is fully "
+        "distributed -- deduped id pairs hash-join the normalized "
+        "vectors table on each side and a sequential-fold HOF dot "
+        "keeps results bit-identical to the oracle. No driver-side "
+        "codebook at any corpus size. Pair order vec_a < vec_b halves "
+        "the candidate set.",
         tags=("dedup", "embedding", "lsh"),
     )
     def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,73 +635,65 @@ def _register_embedding_neardup() -> None:
             F.col("t").alias("ct"),
             F.col("bucket").alias("cb"),
         )
-        # NOTE deliberately no dropDuplicates here: a pair colliding
-        # in k tables is scored k times (identical rounded cosine) and
-        # deduplicated AFTER the tau filter, where the survivor set is
-        # tiny. Deduplicating 10^7 candidate rows first costs a full
-        # extra shuffle that dwarfs the redundant (Arrow-vectorized)
-        # dot products.
-        cand = a.join(
-            c,
-            (F.col("t") == F.col("ct"))
-            & (F.col("bucket") == F.col("cb"))
-            & (F.col("vec_b") > F.col("vec_a")),
-        ).select("vec_a", "vec_b")
-        # Codebook-broadcast pair scoring: the candidate stream is
-        # ~10^7 (vec_a, vec_b) id pairs — attaching both 64-dim
-        # vectors to every pair ships ~1 KB/pair through Arrow (8 GB
-        # at sf1, and the allocation pressure made runtimes swing
-        # 2x). Instead collect the unit-normalized codebook ONCE
-        # (N x dims float64 — index-sized by the same argument that
-        # lets IVF broadcast its centroids), broadcast it, and let
-        # the UDF gather rows by id: pairs cost 16 bytes each. The
-        # dot loop accumulates dimension-by-dimension, and the norm
-        # is an ordered sum of squares, preserving the oracle's
-        # sequential-fold float semantics exactly. For corpora whose
-        # codebook outgrows a broadcast, fall back to the bucket-
-        # partitioned vectors/ layout in sources/ann_index.py.
-        import numpy as np
-        import pandas as pd
-
-        rows = emb.select("vec_id", "embedding").collect()
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        x = np.array([r[1] for r in rows], dtype=np.float64)
-        sq = np.zeros(len(x))
-        for dim in range(x.shape[1]):
-            sq = sq + x[:, dim] * x[:, dim]
-        u = x / np.sqrt(sq)[:, None]
-        pos = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
-        pos[ids] = np.arange(len(ids))
-        b_u = spark.sparkContext.broadcast(u)
-        b_pos = spark.sparkContext.broadcast(pos)
-
-        def _pair_dot_fn(va, vb):
-            if len(va) == 0:
-                return pd.Series([], dtype="float64")
-            ua = b_u.value[b_pos.value[va.to_numpy()]]
-            ub = b_u.value[b_pos.value[vb.to_numpy()]]
-            acc = np.zeros(len(ua))
-            for dim in range(ua.shape[1]):
-                acc = acc + ua[:, dim] * ub[:, dim]
-            return pd.Series(acc)
-
-        # real type objects, not strings: `from __future__ import
-        # annotations` would leave pandas_udf unable to infer the
-        # scalar eval type from stringified hints
-        _pair_dot_fn.__annotations__ = {
-            "va": pd.Series,
-            "vb": pd.Series,
-            "return": pd.Series,
-        }
-        _pair_dot = F.pandas_udf(_pair_dot_fn, "double")
-
-        scored = cand.select(
-            "vec_a", "vec_b", F.round(_pair_dot("vec_a", "vec_b"), 6).alias("cosine")
-        )
-        return (
-            scored.filter(F.col("cosine") >= NEARDUP_TAU)
+        # Dedup the candidate id pairs BEFORE attaching vectors: a
+        # pair colliding in k tables would otherwise carry both 64-dim
+        # arrays k times through the rescore joins. The dedup shuffle
+        # moves 16-byte id pairs — two orders of magnitude cheaper
+        # than the ~1 KB/pair it saves downstream.
+        cand = (
+            a.join(
+                c,
+                (F.col("t") == F.col("ct"))
+                & (F.col("bucket") == F.col("cb"))
+                & (F.col("vec_b") > F.col("vec_a")),
+            )
+            .select("vec_a", "vec_b")
             .dropDuplicates(["vec_a", "vec_b"])
         )
+        # Distributed pair rescore: shuffle-join the candidate pairs
+        # against the unit-normalized vectors table on each side, then
+        # one sequential-fold dot per pair (HOF aggregate, JVM-side).
+        # No driver-side codebook: an earlier revision collected and
+        # broadcast the full embedding table (driver-memory-bounded —
+        # dies when the corpus outgrows the driver); this plan is
+        # executor-memory-bounded at any vector count and every join
+        # is a hash equi-join on vec_id. Float semantics match the
+        # oracle exactly: the norm is the ordered sum of squares
+        # (aggregate fold), the division is per-element, and the dot
+        # accumulates in dimension order — the same IEEE operation
+        # sequence as list_dot_product / the previous numpy loop.
+        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        normed = emb.select("vec_id", dbl.alias("e")).select(
+            "vec_id",
+            F.transform(
+                "e",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.transform("e", lambda y: y * y),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+            ).alias("u"),
+        )
+        pair_dot = F.aggregate(
+            F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = (
+            cand.join(
+                normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")),
+                "vec_a",
+            )
+            .join(
+                normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")),
+                "vec_b",
+            )
+            .select("vec_a", "vec_b", F.round(pair_dot, 6).alias("cosine"))
+        )
+        return scored.filter(F.col("cosine") >= NEARDUP_TAU)
 
 
 _register_embedding_neardup()

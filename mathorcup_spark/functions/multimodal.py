@@ -36,19 +36,34 @@ DECODED_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real decoder stub — inject Pillow/ffmpeg here on a real cluster.
+    """Real image decoder — active when Pillow is installed, else a
+    clear ``NotImplementedError`` (the environment contract: this
+    container ships no codec libraries, so the default pipeline path
+    uses :func:`fake_decode_meta`; tests/test_multimodal_codec.py
+    exercises this path and skips itself when Pillow is absent).
 
-    Gated behind import-try per the environment contract: the
-    container ships no codec libraries.
+    Returns the same metadata contract as ``fake_decode_meta`` so the
+    two decoders are drop-in interchangeable in
+    :func:`decode_pipeline`.
     """
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "image decoding requires Pillow; inject a decoder via "
             "decode_pipeline(..., decoder=...) or use fake_decode_meta"
         ) from e
-    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        return {
+            "n_bytes": len(payload),
+            "width": im.width,
+            "height": im.height,
+            "n_frames": int(getattr(im, "n_frames", 1)),
+            "modality": "image",
+        }
 
 
 def fake_decode_meta(payload: bytes) -> dict:

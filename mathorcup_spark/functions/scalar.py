@@ -16,6 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ids import dense_ids
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -337,8 +338,9 @@ def f_elementwise_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference inserts 'col:value' tokens in first-seen order "
     "(src/data.py:152-159); distributed engines can't reproduce "
     "insertion order, so ids are row_number over sorted (name,value) "
-    "(SURVEY §4.2 decision 2). The vocabulary is tiny at any SF, so the "
-    "single-partition window is safe.",
+    "(SURVEY §4.2 decision 2), assigned by the range-partitioned "
+    "dense_ids rank so a high-cardinality domain never funnels "
+    "through a single-partition sort.",
     tags=("E1", "E2"),
 )
 def e_dictionary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,10 +351,7 @@ def e_dictionary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select(F.lit("p_type").alias("name"), F.col("p_type").alias("value"))
     )
     domain = melted.distinct()
-    return domain.withColumn(
-        "token_id",
-        (F.row_number().over(W.orderBy("name", "value")) - 1).cast("long"),
-    )
+    return dense_ids(domain, ["name", "value"], "token_id")
 
 
 # ---------------------------------------------------------------------------
@@ -384,13 +383,7 @@ def e_dictionary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_vectorize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    mapping = (
-        part.select("p_brand")
-        .distinct()
-        .withColumn(
-            "brand_id", (F.row_number().over(W.orderBy("p_brand")) - 1).cast("long")
-        )
-    )
+    mapping = dense_ids(part.select("p_brand").distinct(), ["p_brand"], "brand_id")
     enriched = part.join(F.broadcast(mapping), "p_brand")
     return (
         lineitem.join(F.broadcast(enriched), lineitem.l_partkey == enriched.p_partkey)

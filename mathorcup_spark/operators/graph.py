@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ids import dense_ids
 from ..registry import register
 
 
@@ -115,22 +116,29 @@ def g_triple_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
-    ent = (
+    ent = dense_ids(
         pairs.select(F.col("head_token").alias("token"))
         .union(pairs.select("tail_token"))
-        .distinct()
-        .withColumn("ent_id", (F.row_number().over(W.orderBy("token")) - 1).cast("long"))
+        .distinct(),
+        ["token"],
+        "ent_id",
     )
-    rel = (
-        pairs.select("rel_token")
-        .distinct()
-        .withColumn("rel_id", (F.row_number().over(W.orderBy("rel_token")) - 1).cast("long"))
-    )
+    # The relation domain is the melt's column-name set — a
+    # compile-time constant (every part row carries all three
+    # attributes, so every name appears in the data). Its
+    # row_number-over-sorted-distinct ids are therefore statically
+    # known: a literal CASE chain, no dictionary subplan at all. The
+    # entity domain is data-sized and keeps the distributed dense_ids
+    # rank.
+    rel_names = sorted(cols)
+    rel_id = F.when(F.col("rel_token") == rel_names[0], 0)
+    for i, name in enumerate(rel_names[1:], start=1):
+        rel_id = rel_id.when(F.col("rel_token") == name, i)
     return (
         pairs.join(F.broadcast(ent), pairs.head_token == ent.token)
         .select(F.col("ent_id").alias("head"), "rel_token", "tail_token")
-        .join(F.broadcast(rel), "rel_token")
-        .select("head", F.col("rel_id").alias("rel"), "tail_token")
+        .withColumn("rel", rel_id.cast("long"))
+        .select("head", "rel", "tail_token")
         .join(F.broadcast(ent), F.col("tail_token") == ent.token)
         .select("head", "rel", F.col("ent_id").alias("tail"))
     )
@@ -350,23 +358,27 @@ def g_bidirectional_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = test.select(
                 F.col("tail").alias("fixed"), "rel", F.col("head").alias("target")
             )
-        cand = q.join(F.broadcast(ents), F.col("e") != F.col("target"))
-        t = triples
-        # bracket access: DataFrame.head / DataFrame.tail are methods,
-        # so attribute access would return bound functions, not Columns
+        # Alias BOTH sides: cand's lineage traces back to the same
+        # triples plan as the anti-join's right side, so unqualified
+        # column references would be ambiguous-by-lineage (Spark's
+        # "trivially true equals predicate" warning). Qualified names
+        # make the predicate unambiguous by construction, not by
+        # plan-id resolver behavior.
+        cand = q.join(F.broadcast(ents), F.col("e") != F.col("target")).alias("cand")
+        kn = triples.alias("kn")
         if dir_name == "tail":
             known = (
-                (F.col("fixed") == t["head"])
-                & (cand["rel"] == t["rel"])
-                & (F.col("e") == t["tail"])
+                (F.col("cand.fixed") == F.col("kn.head"))
+                & (F.col("cand.rel") == F.col("kn.rel"))
+                & (F.col("cand.e") == F.col("kn.tail"))
             )
         else:
             known = (
-                (F.col("e") == t["head"])
-                & (cand["rel"] == t["rel"])
-                & (F.col("fixed") == t["tail"])
+                (F.col("cand.e") == F.col("kn.head"))
+                & (F.col("cand.rel") == F.col("kn.rel"))
+                & (F.col("cand.fixed") == F.col("kn.tail"))
             )
-        cand = cand.join(t, known, "left_anti")
+        cand = cand.join(kn, known, "left_anti")
 
         def score(c):
             if dir_name == "tail":

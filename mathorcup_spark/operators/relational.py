@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ids import dense_ids
 from ..registry import DEC, davg, dsum, oracle_davg, oracle_dsum, register
 
 # ---------------------------------------------------------------------------
@@ -312,16 +313,9 @@ def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j_lookup_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
-    # The distinct-values mapping is tiny (vocabulary-sized) at any SF —
-    # the single-partition window over it is safe, and the join broadcasts.
-    mapping = (
-        part.select("p_brand")
-        .distinct()
-        .withColumn(
-            "brand_id",
-            (F.row_number().over(W.orderBy("p_brand")) - 1).cast("long"),
-        )
-    )
+    # dense_ids keeps the mapping's rank distributed however wide the
+    # value domain grows; the mapping stays broadcast-joined.
+    mapping = dense_ids(part.select("p_brand").distinct(), ["p_brand"], "brand_id")
     return part.join(F.broadcast(mapping), "p_brand").select("p_partkey", "brand_id")
 
 

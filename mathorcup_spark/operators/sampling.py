@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ids import dense_ids
 from ..registry import register
 
 # Knuth's multiplicative hash constant — a deterministic stand-in for
@@ -45,8 +46,6 @@ _HASH_A = 2654435761
     tags=("R2", "P7"),
 )
 def r_ordered_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     n = orders.count()
     if n <= 1:
@@ -63,27 +62,9 @@ def r_ordered_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo = mid + 1
     k = lo  # ranks 1..k survive
 
-    ranged = orders.repartitionByRange("o_orderkey").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_cnt").over(
-                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("_off"),
-    )  # window over #partitions rows, not data rows
     return (
-        ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            "_rank",
-            F.row_number().over(W.partitionBy("_pid").orderBy("o_orderkey"))
-            + F.col("_off"),
-        )
-        .filter(F.col("_rank") <= k)
+        dense_ids(orders, ["o_orderkey"], "_rank")
+        .filter(F.col("_rank") < k)  # dense_ids is 0-based
         .select("o_orderkey", "o_totalprice")
     )
 
@@ -226,9 +207,7 @@ def r_subgraph_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    mapping = nodes.withColumn(
-        "local_id", (F.row_number().over(W.orderBy("node")) - 1).cast("long")
-    )
+    mapping = dense_ids(nodes, ["node"], "local_id")
     return (
         edges.join(
             F.broadcast(mapping.select(F.col("node").alias("src"),

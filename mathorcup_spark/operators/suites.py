@@ -912,5 +912,153 @@ def ml_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Specialty joins — salted-skew aggregate join, as-of join, range join
+# in one driver row (frees driver-surface slots for the composed
+# dedup pipeline and the sink roundtrips)
+# ---------------------------------------------------------------------------
+
+_JSPEC_SCHEMA = [("id1", "long"), ("id2", "long"), ("str1", "string"),
+                 ("num1", "double"), ("num2", "double"),
+                 ("ts1", "timestamp"), ("ts2", "timestamp")]
+_jspec_oracle, _jspec_fn = _suite(
+    _JSPEC_SCHEMA,
+    [
+        ("salted_skew", "j_salted_skew_join",
+         {"id1": "n_items", "str1": "o_orderpriority", "num1": "gross_revenue"}),
+        ("asof", "j_asof_join",
+         {"id1": "event_id", "id2": "user_id", "ts1": "ts",
+          "num1": "click_value", "ts2": "asof_error_ts", "num2": "error_value"}),
+        ("range", "j_range_join",
+         {"id1": "event_id", "id2": "n_next_5min"}),
+    ],
+)
+
+
+@register(
+    "j_specialty_suite",
+    oracle=_jspec_oracle,
+    doc="Specialty joins composed: the salted skew-key aggregate join "
+    "(explicit salt column pre-aggregation), the as-of join (latest "
+    "error event at-or-before each click, window-bounded), and the "
+    "range join (events within a forward time interval) — each "
+    "member's full output hash-verified in one driver row. Members "
+    "stay registered as the user-facing API.",
+    tags=("join", "asof", "range", "skew", "suite"),
+)
+def j_specialty_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jspec_fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sink roundtrips — S3 (parquet stage), S5 (CSV triple), S6 (JSON
+# dict), S7 (prediction TSV) written to a temp dir, read back, and
+# the read-back rows hash-verified against the source-of-truth SQL:
+# driver-row evidence that every sink's write→scan path preserves
+# values exactly (floats survive because Spark's CSV/JSON writers
+# emit shortest-roundtrip representations).
+# ---------------------------------------------------------------------------
+
+_SINK_SCHEMA = [("id1", "long"), ("id2", "long"), ("str1", "string"),
+                ("num1", "double")]
+
+_SINK_ORACLE = "\nUNION ALL\n".join(
+    _remap_sql(inner, op, _SINK_SCHEMA, slots)
+    for op, inner, slots in [
+        ("parquet_stage",
+         "SELECT n_nationkey, n_regionkey, n_name FROM nation",
+         {"id1": "n_nationkey", "id2": "n_regionkey", "str1": "n_name"}),
+        ("json_dict",
+         "SELECT n_nationkey AS token_id, n_name AS value FROM nation",
+         {"id1": "token_id", "str1": "value"}),
+        ("predictions_tsv",
+         "SELECT o_orderkey, o_totalprice FROM orders",
+         {"id1": "o_orderkey", "num1": "o_totalprice"}),
+        ("csv_triples",
+         "SELECT l_partkey AS head, l_returnflag AS rel, l_suppkey AS tail"
+         " FROM lineitem WHERE l_quantity >= 49 AND l_linenumber = 1",
+         {"id1": "head", "id2": "tail", "str1": "rel"}),
+    ]
+)
+
+
+@register(
+    "s_sink_roundtrip_suite",
+    oracle=_SINK_ORACLE,
+    doc="S3/S5/S6/S7 sink roundtrips as driver rows: write the stage "
+    "parquet, the CSV triple file, the JSON vocabulary, and the "
+    "prediction TSV with the engine's sink helpers (sources/tsv.py), "
+    "read each back with the matching scan, and return the read-back "
+    "rows — the oracle recomputes the same rows from the source "
+    "tables, so a hash match proves the full write→scan roundtrip "
+    "is value-exact (reference sinks: src/utils.py:39,204-209, "
+    "src/data.py:160-174, src/evaluate.py:91-94).",
+    tags=("S3", "S5", "S6", "S7", "suite"),
+)
+def s_sink_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..catalog import load
+    from ..sources.tsv import (
+        read_tsv,
+        write_json,
+        write_parquet,
+        write_predictions_tsv,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="mathorcup_sink_rt_")
+
+    nation = load(spark, sf_dir, "nation")
+    write_parquet(nation.select("n_nationkey", "n_regionkey", "n_name"),
+                  f"{out_dir}/stage")
+    back_pq = spark.read.parquet(f"{out_dir}/stage")
+
+    vocab = nation.select(
+        F.col("n_name").alias("value"),
+        F.col("n_nationkey").cast("long").alias("token_id"),
+    )
+    write_json(vocab, f"{out_dir}/vocab")
+    back_js = spark.read.schema("value STRING, token_id LONG").json(
+        f"{out_dir}/vocab"
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    write_predictions_tsv(orders, f"{out_dir}/preds", "o_orderkey", "o_totalprice")
+    back_tsv = read_tsv(
+        spark, f"{out_dir}/preds", ["o_orderkey", "o_totalprice"],
+        [T.LongType(), T.DoubleType()],
+    )
+
+    triples = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 49) & (F.col("l_linenumber") == 1))
+        .select(F.col("l_partkey").alias("head"),
+                F.col("l_returnflag").alias("rel"),
+                F.col("l_suppkey").alias("tail"))
+    )
+    triples.write.mode("overwrite").csv(f"{out_dir}/triples", sep=",")
+    back_csv = spark.read.schema("head LONG, rel STRING, tail LONG").csv(
+        f"{out_dir}/triples", sep=","
+    )
+
+    members = [
+        ("parquet_stage", back_pq,
+         {"id1": "n_nationkey", "id2": "n_regionkey", "str1": "n_name"}),
+        ("json_dict", back_js, {"id1": "token_id", "str1": "value"}),
+        ("predictions_tsv", back_tsv,
+         {"id1": "o_orderkey", "num1": "o_totalprice"}),
+        ("csv_triples", back_csv,
+         {"id1": "head", "id2": "tail", "str1": "rel"}),
+    ]
+    out = None
+    for op, df, slots in members:
+        piece = _remap_df(df, op, _SINK_SCHEMA, slots)
+        out = piece if out is None else out.unionByName(piece)
+    assert out is not None
+    return out
+
+
 # keep linters honest about the re-exported modules used in mappings
 _ = (TP, STW, AN, G, M, TM, FD, FM, FSC, FSI, FT, MLG, MLP)

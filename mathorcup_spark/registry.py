@@ -110,8 +110,9 @@ def oracle_davg(expr: str, alias: str) -> str:
 # composed per-family suites (operators/suites.py — each UNIONs the
 # full output rows of its member operators, so one driver row
 # hash-verifies every member) plus the flagship, the specialty
-# joins/aggregates, and all 22 TPC-H shapes (18 individual + the
-# 4 scalar-output shapes composed). Fine-grained member queries stay
+# aggregates, the composed LSH→Jaccard dedup pipeline, the sink
+# write→read-back roundtrips, and all 22 TPC-H shapes (18 individual
+# + the 4 scalar-output shapes composed). Fine-grained member queries stay
 # registered as the user-facing API — bench/plan-audit/pytest run the
 # full registry — and COVERAGE.md maps §2 operator -> covering
 # driver query. Only r_seeded_suite and ml_pipeline_suite are
@@ -125,9 +126,9 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "rel_setops_suite",
     "a_grouping_sets",
     "a_pivot_event_values",
-    "j_salted_skew_join",
-    "j_asof_join",
-    "j_range_join",
+    "j_specialty_suite",
+    "d_lsh_rescore_e2e",
+    "s_sink_roundtrip_suite",
     "a_approx_count_distinct",
     "r_deterministic_suite",
     "r_seeded_suite",

@@ -78,7 +78,15 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ran  {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            # the real driver's rows-only smoke check requires rows > 0
+            if len(srows) == 0:
+                print(f"FAIL {name}: rows-only returned 0 rows")
+                failures.append(name)
+            else:
+                print(
+                    f"ran  {name}: rows-only, {len(srows)} rows"
+                    f" ({time.time()-t0:.1f}s)"
+                )
             continue
         try:
             res = duck.execute(oracles[name])
@@ -90,13 +98,19 @@ def main() -> int:
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_rows = len(srows) == len(drows)
-        ok_vals = ok_cols and ok_rows and (
+        # value comparison is only meaningful when cols/rows line up;
+        # report it as "skipped" (not false) when short-circuited so
+        # the three signals stay independent in the output
+        ok_vals = (
             _norm_rows(scols, srows) == _norm_rows(dcols, drows)
+            if (ok_cols and ok_rows)
+            else None
         )
         status = "pass" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        hash_str = "skipped" if ok_vals is None else str(ok_vals)
         print(
             f"{status} {name}: rows {len(srows)}/{len(drows)}"
-            f" cols={ok_cols} hash={ok_vals} ({time.time()-t0:.1f}s)"
+            f" cols={ok_cols} hash={hash_str} ({time.time()-t0:.1f}s)"
         )
         if status == "FAIL":
             failures.append(name)

@@ -85,10 +85,10 @@ EXPECT: dict[str, dict] = {
     "w_topk_per_group": {},
     "a_grouped_multi_agg": {},
     "a_dedup_rows": {},
-    # dictionary id assignment ranks the DISTINCT domain (bounded:
-    # categorical values), not the data — the single-partition window
-    # over that tiny set is deliberate (SURVEY §4.2 item 2).
-    "g_triple_build": {"single_partition_ok": True},
+    # dictionary id assignment uses the range-partitioned dense_ids
+    # rank (mathorcup_spark/ids.py) — no single-partition exchange at
+    # any vocabulary cardinality, asserted like every other query.
+    "g_triple_build": {},
     "j_asof_join": {},
     "j_range_join": {},
     "d_minhash_lsh": {},
@@ -96,8 +96,10 @@ EXPECT: dict[str, dict] = {
     # centroid table — a broadcast nested loop over a constant-size
     # side is the intended, scale-safe plan (cost O(n·k), no shuffle).
     "sim_ivf_ann": {"bnlj_ok": True},
-    # recall@5 composes the exact baseline with both ANN paths; the
-    # IVF member carries its constant-size centroid BNLJ (see above)
+    # recall@5 composes the exact baseline with both ANN paths; two
+    # constant-size BNLJ sources are expected — the exact baseline
+    # broadcasts its <=10-row query set joined on c_id != q_id, and
+    # the IVF member carries its k~16-row centroid probe (see above)
     "sim_ann_recall": {"bnlj_ok": True},
     "t_text_stats": {},
     "st_session_window": {},
@@ -115,6 +117,13 @@ EXPECT: dict[str, dict] = {
     # row — 1-row BroadcastNestedLoopJoin is the scalar-subquery plan
     "r_weighted_sample": {"bnlj_ok": True},
     "d_ngram_jaccard": {},
+    # rescore is hash equi-joins against the normalized vectors table
+    # (no driver codebook, no BNLJ) — assert it stays that way
+    "d_embedding_neardup": {},
+    # dictionary builds must never funnel data through a single
+    # partition (dense_ids assertion, same as g_triple_build)
+    "e_dictionary_build": {},
+    "j_lookup_encode": {},
 }
 
 
