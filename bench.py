@@ -77,6 +77,7 @@ HEADLINE = [
     "r_stratified_sample",
     "d_ngram_jaccard",
     "d_lsh_rescore_e2e",
+    "d_dedup_clusters",
 ]
 
 

@@ -370,6 +370,13 @@ _LSH_RESCORE_ORACLE = f"""
     tags=("dedup", "minhash", "lsh", "jaccard", "e2e"),
 )
 def d_lsh_rescore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rescored_pairs(spark, sf_dir)
+
+
+def rescored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, jaccard): MinHash-LSH candidates
+    rescored with exact shingle Jaccard — the shared front half of
+    d_lsh_rescore_e2e and d_dedup_clusters (functions/cluster.py)."""
     sh = _shingle_df(spark, sf_dir)
     cand = _minhash_candidates(sh)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

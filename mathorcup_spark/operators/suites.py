@@ -32,6 +32,7 @@ from . import relational as R
 from . import sampling as S
 from . import temporal as TP
 from . import tpch_more as TM
+from ..functions import cluster as FCL
 from ..functions import dedup as FD
 from ..functions import multimodal as FM
 from ..functions import scalar as FSC
@@ -522,6 +523,9 @@ _dedup_oracle, _dedup_fn = _suite(
          {"id1": "doc_id", "id2": "n_chars"}),
         ("embedding_neardup", "d_embedding_neardup",
          {"id1": "vec_a", "id2": "vec_b", "num1": "cosine"}),
+        ("clusters", "d_dedup_clusters",
+         {"id1": "doc_id", "id2": "cluster_id",
+          "num1": "cluster_size", "str1": "keep"}),
     ],
 )
 
@@ -531,9 +535,11 @@ _dedup_oracle, _dedup_fn = _suite(
     oracle=_dedup_oracle,
     doc="Deduplication family composed: exact hash-groupBy dedup, "
     "windowed n-gram Jaccard scoring, deterministic survivor "
-    "selection, and sign-LSH embedding near-dup with Arrow rescore — "
-    "each member's full pair/survivor output hash-verified in one "
-    "driver row. Members stay registered as the user-facing API.",
+    "selection, sign-LSH embedding near-dup with Arrow rescore, and "
+    "connected-components cluster assignment (large-star/small-star "
+    "vs a recursive-CTE oracle) — each member's full "
+    "pair/survivor/cluster output hash-verified in one driver row. "
+    "Members stay registered as the user-facing API.",
     tags=("dedup", "suite"),
 )
 def d_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,7 +4,7 @@
 Add new operator modules here as they land (SURVEY.md §7 milestones).
 """
 
-from ..functions import cars, corpus, dedup, multimodal, scalar, similarity, text  # noqa: F401
+from ..functions import cars, cluster, corpus, dedup, multimodal, scalar, similarity, text  # noqa: F401
 from ..ml import graph_embed, pipelines  # noqa: F401
 from ..operators import (  # noqa: F401
     analytics,
@@ -19,7 +19,7 @@ from ..operators import (  # noqa: F401
 from ..streaming import windows  # noqa: F401
 
 _ALL = [
-    cars, corpus,
+    cars, cluster, corpus,
     relational, scalar, metrics, sampling, graph, temporal, analytics,
     tpch_more, text, dedup, similarity, multimodal, windows, pipelines,
     graph_embed, suites,

@@ -71,3 +71,41 @@ def test_lsh_ann_subset_of_bruteforce(spark):
             assert abs(exact_scores[pair] - cos) < 1e-9
     recall = len(set(approx) & exact) / len(exact)
     assert recall > 0.2
+
+
+# --- connected-components clustering (functions/cluster.py) ---------------
+
+
+def _cc_map(spark, pairs):
+    from mathorcup_spark.functions.cluster import connected_components
+
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return {r.node: r.comp for r in connected_components(edges).collect()}
+
+
+def test_cc_path_graph_worst_case(spark):
+    # A 17-node path is the worst convergence case for star rounds
+    # (diameter 16); every node must still land on the component min.
+    comp = _cc_map(spark, [(i, i + 1) for i in range(1, 17)])
+    assert comp == {i: 1 for i in range(1, 18)}
+
+
+def test_cc_multiple_components_and_order(spark):
+    comp = _cc_map(
+        spark,
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 40), (7, 7)],
+    )
+    # self-loops dropped; (41,40) duplicate canonicalized away
+    assert comp == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40, 41: 40}
+
+
+def test_dedup_clusters_groups_transitive_neardups(spark, doc_dir):
+    from mathorcup_spark.functions.cluster import d_dedup_clusters
+
+    rows = {r.doc_id: r for r in d_dedup_clusters(spark, doc_dir).collect()}
+    # docs 0, 1, 2 are one near-dup cluster (0~1 near, 0=2 exact);
+    # doc 3 is unrelated -> singleton survivor
+    assert rows[0].cluster_id == rows[1].cluster_id == rows[2].cluster_id == 0
+    assert rows[0].cluster_size == 3
+    assert (rows[0].keep, rows[1].keep, rows[2].keep) == (1, 0, 0)
+    assert rows[3].cluster_id == 3 and rows[3].cluster_size == 1 and rows[3].keep == 1

@@ -124,6 +124,11 @@ EXPECT: dict[str, dict] = {
     # partition (dense_ids assertion, same as g_triple_build)
     "e_dictionary_build": {},
     "j_lookup_encode": {},
+    # final cluster assembly: documents left-joined to the CC fixpoint
+    # (a localCheckpointed star edge set — the iterations themselves
+    # are lineage-truncated and audited by their own shape: two
+    # groupBy-min shuffles per round) plus the cluster-size join
+    "d_dedup_clusters": {},
 }
 
 
