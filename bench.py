@@ -78,6 +78,8 @@ HEADLINE = [
     "d_ngram_jaccard",
     "d_lsh_rescore_e2e",
     "d_dedup_clusters",
+    "a_group_quantiles",
+    "t_tfidf_top_terms",
 ]
 
 

@@ -210,3 +210,79 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_suffix"),
     )
+
+
+@register(
+    "t_tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT source, term, count(*) AS tf FROM w GROUP BY source, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT source, term, tf, df, tfidf, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY tfidf DESC, term) AS BIGINT)
+                AS rnk
+      FROM scored
+    ) ranked
+    WHERE rnk <= 10
+    """,
+    doc="TF-IDF top terms per source: the distinctive-vocabulary "
+    "report a corpus curation run uses to spot source contamination "
+    "and boilerplate. tf = term occurrences within the source, df = "
+    "corpus-wide distinct docs containing the term, smoothed idf = "
+    "ln((N+1)/(df+1)), top-10 per source by rounded tfidf with a "
+    "term tiebreak (rounding BEFORE ranking keeps tie resolution "
+    "engine-identical). Shape at scale: two partial-agg shuffles "
+    "(tf, df) + one broadcast hash join on term + a per-source "
+    "window — no global sort; the doc-count scalar is a 1-row "
+    "broadcast. The rank window partitions by source, so no "
+    "single-partition exchange at any corpus size.",
+    tags=("text", "tfidf"),
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    )
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "term", "tf", "df", "tfidf", "rnk")
+    )

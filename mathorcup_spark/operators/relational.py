@@ -496,6 +496,46 @@ def a_grouped_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a_group_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact grouped quantiles (p25/p50/p75/p95) via Spark SQL "
+    "`percentile` — interpolation semantics match DuckDB "
+    "quantile_cont bit-for-bit (verified by the oracle hash). Scale "
+    "note: exact percentile buffers each group's values in the "
+    "aggregation state (ObjectHashAggregate), which is fine for "
+    "bounded group payloads but at 100 TB per-group value buffering "
+    "is the bottleneck — switch to `approx_percentile` (GK sketch, "
+    "constant state, mergeable map-side) and accept the rank error; "
+    "the query shape is otherwise identical.",
+    tags=("A1", "quantiles"),
+)
+def a_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(a)
+                for a, p in qs.items()
+            ],
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Windows / sorts / top-k
 # ---------------------------------------------------------------------------

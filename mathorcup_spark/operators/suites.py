@@ -241,6 +241,27 @@ _GROUPED_MULTI_LONG_SQL = (
     + "\n) _m"
 )
 
+_QUANTS = ["p25", "p50", "p75", "p95"]
+
+
+def _quantiles_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a_group_quantiles unpivoted: one row per (group, quantile)."""
+    stack = ", ".join(f"'{q}', {q}" for q in _QUANTS)
+    return R.a_group_quantiles(spark, sf_dir).select(
+        F.col("l_returnflag").alias("k1"),
+        F.col("n"),
+        F.expr(f"stack({len(_QUANTS)}, {stack}) as (k2, num1)"),
+    )
+
+
+_QUANTILES_LONG_SQL = (
+    f"WITH q AS ({_oracle_of('a_group_quantiles')})\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT l_returnflag AS k1, '{p}' AS k2, {p} AS num1, n FROM q"
+        for p in _QUANTS
+    )
+)
+
 _agg_members_oracle = "\nUNION ALL\n".join(
     [
         _remap_sql(_COL_STATS_LONG_SQL, "col_stats", _AGG_SCHEMA,
@@ -258,6 +279,8 @@ _agg_members_oracle = "\nUNION ALL\n".join(
                     "num1": "norm"}),
         _remap_sql(_GROUPED_MULTI_LONG_SQL, "grouped_multi", _AGG_SCHEMA,
                    {"k1": "k1", "k2": "k2", "num1": "num1"}),
+        _remap_sql(_QUANTILES_LONG_SQL, "quantiles", _AGG_SCHEMA,
+                   {"k1": "k1", "k2": "k2", "n": "n", "num1": "num1"}),
     ]
 )
 
@@ -268,8 +291,9 @@ _agg_members_oracle = "\nUNION ALL\n".join(
     doc="A1/A2/A5-A8/A16 composed: one-scan column stats "
     "(mean/std/min/max/count, unpivoted), distinct union domain "
     "(A5/U1), row dedup (A6), 40-bin histogram (A7), group degree "
-    "norm (A8/G2), and the 8-aggregate grouped pass (TPC-H Q1 shape, "
-    "unpivoted) — each member's full result hash-verified "
+    "norm (A8/G2), the 8-aggregate grouped pass (TPC-H Q1 shape, "
+    "unpivoted), and exact grouped quantiles (p25-p95, unpivoted, "
+    "vs DuckDB quantile_cont) — each member's full result hash-verified "
     "(reference src/data.py:108-125, src/utils.py:76-83, "
     "preprocess.py:135-160, src/graph.py:30-43).",
     tags=("A1", "A2", "A5", "A6", "A7", "A8", "A16", "G2", "suite"),
@@ -291,6 +315,9 @@ def rel_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "num1": "norm"}),
         _remap_df(_grouped_multi_long(spark, sf_dir), "grouped_multi",
                   _AGG_SCHEMA, {"k1": "k1", "k2": "k2", "num1": "num1"}),
+        _remap_df(_quantiles_long(spark, sf_dir), "quantiles",
+                  _AGG_SCHEMA, {"k1": "k1", "k2": "k2", "n": "n",
+                                "num1": "num1"}),
     ]
     out = pieces[0]
     for p in pieces[1:]:
@@ -639,6 +666,9 @@ _text_oracle, _text_fn = _suite(
         ("fingerprint", "t_fingerprint",
          {"id1": "doc_id", "str1": "fp_full", "str2": "fp_prefix",
           "str3": "fp_suffix"}),
+        ("tfidf", "t_tfidf_top_terms",
+         {"id1": "rnk", "str1": "source", "str2": "term",
+          "n1": "tf", "n2": "df", "num1": "tfidf"}),
     ],
 )
 
@@ -649,7 +679,8 @@ _text_oracle, _text_fn = _suite(
     doc="Text-analysis family composed: quality stats "
     "(length/punct/stopword ratios), n-gram-heuristic language ID, "
     "whitespace + BPE-ish token counting, rolling-hash document "
-    "fingerprinting — full member outputs hash-verified in one row.",
+    "fingerprinting, and per-source TF-IDF top terms — full member "
+    "outputs hash-verified in one row.",
     tags=("text", "suite"),
 )
 def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

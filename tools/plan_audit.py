@@ -124,6 +124,13 @@ EXPECT: dict[str, dict] = {
     # partition (dense_ids assertion, same as g_triple_build)
     "e_dictionary_build": {},
     "j_lookup_encode": {},
+    # exact grouped quantiles: ObjectHashAggregate holds per-group
+    # value buffers (the documented exact-percentile trade); the scan
+    # side keeps its codegen span and pushdown
+    "a_group_quantiles": {},
+    # the doc-count scalar is a 1-row broadcast crossJoin — the
+    # standard scalar-subquery plan (same as r_weighted_sample)
+    "t_tfidf_top_terms": {"bnlj_ok": True},
     # final cluster assembly: documents left-joined to the CC fixpoint
     # (a localCheckpointed star edge set — the iterations themselves
     # are lineage-truncated and audited by their own shape: two
