@@ -80,6 +80,7 @@ HEADLINE = [
     "d_dedup_clusters",
     "a_group_quantiles",
     "t_tfidf_top_terms",
+    "t_sequence_pack",
 ]
 
 

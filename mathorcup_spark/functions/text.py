@@ -286,3 +286,68 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("source", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+@register(
+    "t_sequence_pack",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           cum_before // {SEQ_LEN} AS seq_id,
+           cum_before % {SEQ_LEN} AS seq_offset,
+           CASE WHEN cum_before % {SEQ_LEN} + n_tokens > {SEQ_LEN}
+                THEN 1 ELSE 0 END AS spans_boundary
+    FROM packed
+    """,
+    doc=f"Sequence packing for LLM training: concatenate the corpus "
+    "in doc_id order and cut fixed-length windows of "
+    f"{SEQ_LEN} tokens — each document gets the sequence it starts "
+    "in, its token offset inside that sequence, and a flag for "
+    "crossing a boundary (the documents that need attention-mask "
+    "splitting downstream). The exclusive running token count is "
+    "ids.prefix_sum — range-partition by doc_id, per-partition "
+    "running sums, cumulative partition offsets over #partitions "
+    "rows — so the global ORDER BY cumsum the oracle computes on one "
+    "thread runs with NO single-partition exchange at any corpus "
+    "size. The token counter is the same BPE-ish regex as "
+    "t_token_count, so packing budgets agree with the reported "
+    "token counts.",
+    tags=("text", "pack", "E1"),
+)
+def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ids import prefix_sum
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    packed = prefix_sum(tok, ["doc_id"], "n_tokens", "cum_before")
+    off = F.col("cum_before") % SEQ_LEN
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        (F.col("cum_before") / SEQ_LEN).cast("long").alias("seq_id"),
+        off.alias("seq_offset"),
+        F.when(off + F.col("n_tokens") > SEQ_LEN, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("spans_boundary"),
+    )

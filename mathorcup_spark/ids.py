@@ -32,6 +32,52 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Append ``out_col`` = exclusive prefix sum of ``value_col`` under
+    ``ORDER BY order_cols`` — semantically
+    ``sum(value) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`` with no single-partition exchange: the same
+    range-partition + per-partition-offset decomposition as
+    :func:`dense_ids`, with per-partition SUMS instead of counts.
+
+    The offset window still runs over #partitions rows only; the
+    per-partition running sum is an ordinary partitioned window.
+    """
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sums = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    offsets = sums.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_psum").over(
+                W.partitionBy(F.col("_pid") % 1)
+                .orderBy("_pid")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    local = F.coalesce(
+        F.sum(value_col).over(
+            W.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, local + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def dense_ids(
     df: DataFrame,
     order_cols: list[str],

@@ -587,6 +587,38 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_distribution_ranks",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal, s_suppkey)
+    """,
+    doc="Distribution ranks per group: ntile quartiles, percent_rank, "
+    "cume_dist over account balance within each nation — the "
+    "windowed-distribution surface (quartile bucketing, percentile "
+    "position) that complements the exact quantile aggregates. The "
+    "unique-key tiebreak makes ntile deterministic (ties split "
+    "arbitrarily without it); the window partitions by the group "
+    "key, so no single-partition exchange.",
+    tags=("W1", "W2", "quantiles"),
+)
+def w_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).cast("long").alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "w_argmax_per_row",
     oracle="""
     SELECT vec_id,

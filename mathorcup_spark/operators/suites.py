@@ -346,6 +346,9 @@ _win_oracle, _win_fn = _suite(
         ("lag_gap", "w_lag_gap",
          {"id1": "event_id", "id2": "user_id", "n": "gap_us",
           "num1": "next_gap_us"}),
+        ("distribution_ranks", "w_distribution_ranks",
+         {"id1": "s_suppkey", "id2": "s_nationkey", "n": "tile",
+          "num1": "pct_rank", "num2": "cume"}),
     ],
 )
 
@@ -355,7 +358,8 @@ _win_oracle, _win_fn = _suite(
     oracle=_win_oracle,
     doc="W1-W3 + lag/lead composed: per-group rank (W1), top-k per "
     "group (W2/W4), per-row argmax (W2), running max + exact running "
-    "sum (W3), inter-event lag/lead gaps — full member outputs "
+    "sum (W3), inter-event lag/lead gaps, and distribution ranks "
+    "(ntile/percent_rank/cume_dist) — full member outputs "
     "(reference src/evaluate.py:105-109,237-247, preprocess.py:67-78).",
     tags=("W1", "W2", "W3", "W4", "suite"),
 )
@@ -669,6 +673,10 @@ _text_oracle, _text_fn = _suite(
         ("tfidf", "t_tfidf_top_terms",
          {"id1": "rnk", "str1": "source", "str2": "term",
           "n1": "tf", "n2": "df", "num1": "tfidf"}),
+        ("sequence_pack", "t_sequence_pack",
+         {"id1": "doc_id", "n1": "n_tokens", "n2": "cum_before",
+          "num1": "seq_id", "num2": "seq_offset",
+          "num3": "spans_boundary"}),
     ],
 )
 
@@ -679,8 +687,9 @@ _text_oracle, _text_fn = _suite(
     doc="Text-analysis family composed: quality stats "
     "(length/punct/stopword ratios), n-gram-heuristic language ID, "
     "whitespace + BPE-ish token counting, rolling-hash document "
-    "fingerprinting, and per-source TF-IDF top terms — full member "
-    "outputs hash-verified in one row.",
+    "fingerprinting, per-source TF-IDF top terms, and "
+    "fixed-length sequence packing (distributed prefix-sum) — full "
+    "member outputs hash-verified in one row.",
     tags=("text", "suite"),
 )
 def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

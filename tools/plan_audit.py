@@ -131,6 +131,9 @@ EXPECT: dict[str, dict] = {
     # the doc-count scalar is a 1-row broadcast crossJoin — the
     # standard scalar-subquery plan (same as r_weighted_sample)
     "t_tfidf_top_terms": {"bnlj_ok": True},
+    # global cumsum via ids.prefix_sum — the audit's point is the
+    # ABSENCE of a single-partition exchange despite ORDER BY cumsum
+    "t_sequence_pack": {},
     # final cluster assembly: documents left-joined to the CC fixpoint
     # (a localCheckpointed star edge set — the iterations themselves
     # are lineage-truncated and audited by their own shape: two
