@@ -81,6 +81,8 @@ HEADLINE = [
     "a_group_quantiles",
     "t_tfidf_top_terms",
     "t_sequence_pack",
+    "r_mixture_sample",
+    "d_fuzzy_pairs",
 ]
 
 

@@ -704,3 +704,47 @@ def _register_embedding_neardup() -> None:
 
 
 _register_embedding_neardup()
+
+
+@register(
+    "d_fuzzy_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, substr(lower(trim(text)), 1, 64) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist,
+           round(1.0 - CAST(levenshtein(a.prefix, b.prefix) AS DOUBLE)
+                 / greatest(length(a.prefix), length(b.prefix)), 6) AS sim
+    FROM p a JOIN p b
+      ON a.source = b.source
+     AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+    """,
+    doc="Fuzzy (edit-distance) near-dup scoring: levenshtein over "
+    "64-char normalized prefixes of key-bounded candidate pairs "
+    "(same source, id distance <= 20 — the d_ngram_jaccard window "
+    "contract; feed it LSH candidates for corpus-wide scoring, the "
+    "column contracts line up). The prefix cap bounds the O(m*n) DP "
+    "per pair at 64x64 regardless of document length, so per-pair "
+    "cost is constant at any scale; candidates come from the blocked "
+    "equi-join, never all-pairs. sim = 1 - dist/max_len is the "
+    "normalized similarity a title/URL fuzzy-dedup thresholds on.",
+    tags=("dedup", "fuzzy", "levenshtein"),
+)
+def d_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 64).alias("prefix"),
+    )
+    j = _id_window_join(p)
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    mx = F.greatest(F.length("a.prefix"), F.length("b.prefix"))
+    return j.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        dist.cast("long").alias("edit_dist"),
+        F.round(F.lit(1.0) - dist.cast("double") / mx, 6).alias("sim"),
+    )

@@ -304,3 +304,57 @@ def r_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_hash_u(F.col("p_partkey")) * F.col("mx") < F.col("p_retailprice"))
         .select("p_partkey", "p_retailprice")
     )
+
+
+MIXTURE_BUDGET = 150  # target total docs in the mixed corpus
+
+
+@register(
+    "r_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ), k AS (
+      SELECT count(*) AS n_sources FROM counts
+    ), rates AS (
+      SELECT source,
+             round(least(1.0, ({MIXTURE_BUDGET}.0 / k.n_sources) / n_s), 6)
+               AS rate
+      FROM counts, k
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_hash_u_sql('d.doc_id')} < r.rate
+    """,
+    doc="Domain-mixture sampling: rebalance a multi-source corpus to "
+    "uniform source shares under a fixed total budget — the "
+    "training-mixture step that up/down-samples domains. Per-source "
+    "keep rate = min(1, budget/k / n_s) from one groupBy(source) "
+    "count broadcast back; the keep decision is the deterministic "
+    "md5-uniform per-row hash, so the sample is reproducible across "
+    "engines, partition layouts and cluster sizes, and re-running on "
+    "a grown corpus keeps previously-kept docs stable where rates "
+    "allow (hash stability — rand(seed) has none of these). "
+    "Expected-count semantics (Bernoulli), not exact-n: the exact-n "
+    "variant is r_stratified_sample's rank window.",
+    tags=("R3", "sampling", "mixture"),
+)
+def r_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    k = counts.agg(F.count("*").alias("n_sources"))
+    rates = counts.crossJoin(F.broadcast(k)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(MIXTURE_BUDGET)) / F.col("n_sources")) / F.col("n_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_hash_u(F.col("doc_id")) < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )

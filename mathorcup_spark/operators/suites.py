@@ -447,6 +447,8 @@ _rdet_oracle, _rdet_fn = _suite(
         ("subgraph_relabel", "r_subgraph_relabel",
          {"id1": "src", "id2": "dst", "id3": "src_local",
           "id4": "dst_local"}),
+        ("mixture_sample", "r_mixture_sample",
+         {"id1": "doc_id", "str1": "source", "num1": "rate"}),
     ],
 )
 
@@ -456,7 +458,8 @@ _rdet_oracle, _rdet_fn = _suite(
     oracle=_rdet_oracle,
     doc="Deterministic sampling ops composed: ordered 70/30 split (R2, "
     "distributed rank), hash-corrupt negative sampling (R4), subgraph "
-    "compact relabel (R5) — full member outputs "
+    "compact relabel (R5), and hash-Bernoulli domain-mixture "
+    "rebalancing (R3) — full member outputs "
     "(reference src/samples.py:19-47,106-117).",
     tags=("R2", "R4", "R5", "suite"),
 )
@@ -557,6 +560,9 @@ _dedup_oracle, _dedup_fn = _suite(
         ("clusters", "d_dedup_clusters",
          {"id1": "doc_id", "id2": "cluster_id",
           "num1": "cluster_size", "str1": "keep"}),
+        ("fuzzy", "d_fuzzy_pairs",
+         {"id1": "doc_a", "id2": "doc_b", "num1": "sim",
+          "str1": "edit_dist"}),
     ],
 )
 
@@ -568,9 +574,10 @@ _dedup_oracle, _dedup_fn = _suite(
     "windowed n-gram Jaccard scoring, deterministic survivor "
     "selection, sign-LSH embedding near-dup with Arrow rescore, and "
     "connected-components cluster assignment (large-star/small-star "
-    "vs a recursive-CTE oracle) — each member's full "
-    "pair/survivor/cluster output hash-verified in one driver row. "
-    "Members stay registered as the user-facing API.",
+    "vs a recursive-CTE oracle), and prefix-bounded levenshtein "
+    "fuzzy scoring — each member's full pair/survivor/cluster output "
+    "hash-verified in one driver row. Members stay registered as the "
+    "user-facing API.",
     tags=("dedup", "suite"),
 )
 def d_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,6 +134,11 @@ EXPECT: dict[str, dict] = {
     # global cumsum via ids.prefix_sum — the audit's point is the
     # ABSENCE of a single-partition exchange despite ORDER BY cumsum
     "t_sequence_pack": {},
+    # the source-count scalar (n_sources) is a 1-row broadcast
+    # crossJoin — the scalar-subquery plan, same as r_weighted_sample
+    "r_mixture_sample": {"bnlj_ok": True},
+    # blocked equi-join candidates + constant-bounded 64x64 DP/pair
+    "d_fuzzy_pairs": {},
     # final cluster assembly: documents left-joined to the CC fixpoint
     # (a localCheckpointed star edge set — the iterations themselves
     # are lineage-truncated and audited by their own shape: two
