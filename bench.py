@@ -83,6 +83,7 @@ HEADLINE = [
     "t_sequence_pack",
     "r_mixture_sample",
     "d_fuzzy_pairs",
+    "g_pagerank_fixed",
 ]
 
 

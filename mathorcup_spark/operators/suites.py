@@ -813,6 +813,8 @@ _gr_oracle, _gr_fn = _suite(
           "num2": "diff_score"}),
         ("filtered_ranking", "g_filtered_ranking",
          {"id1": "q_id", "id2": "c_id", "id3": "rnk", "num1": "score"}),
+        ("pagerank", "g_pagerank_fixed",
+         {"id1": "node", "num1": "pagerank"}),
     ],
 )
 
@@ -820,9 +822,10 @@ _gr_oracle, _gr_fn = _suite(
 @register(
     "g_graph_suite",
     oracle=_gr_oracle,
-    doc="G1/G5/G6 composed: melt+self-join triple build, "
-    "dot/diff TransE-style scoring over embeddings, and "
-    "anti-join-filtered candidate ranking — full member outputs "
+    doc="G1/G5/G6 + PageRank composed: melt+self-join triple build, "
+    "dot/diff TransE-style scoring over embeddings, "
+    "anti-join-filtered candidate ranking, and fixed-iteration "
+    "PageRank (decimal-exact cross-engine) — full member outputs "
     "hash-verified in one driver row "
     "(reference src/graph.py:17-53, src/evaluate.py:105-176).",
     tags=("G1", "G5", "G6", "suite"),

@@ -139,6 +139,9 @@ EXPECT: dict[str, dict] = {
     "r_mixture_sample": {"bnlj_ok": True},
     # blocked equi-join candidates + constant-bounded 64x64 DP/pair
     "d_fuzzy_pairs": {},
+    # the node-count scalar is a 1-row broadcast per iteration — the
+    # scalar-subquery plan; edges live behind a localCheckpoint
+    "g_pagerank_fixed": {"bnlj_ok": True},
     # final cluster assembly: documents left-joined to the CC fixpoint
     # (a localCheckpointed star edge set — the iterations themselves
     # are lineage-truncated and audited by their own shape: two
