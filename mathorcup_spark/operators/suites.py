@@ -1034,6 +1034,11 @@ _SINK_ORACLE = "\nUNION ALL\n".join(
          "SELECT l_partkey AS head, l_returnflag AS rel, l_suppkey AS tail"
          " FROM lineitem WHERE l_quantity >= 49 AND l_linenumber = 1",
          {"id1": "head", "id2": "tail", "str1": "rel"}),
+        ("orc_stage",
+         "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment"
+         " FROM customer",
+         {"id1": "c_custkey", "id2": "c_nationkey", "num1": "c_acctbal",
+          "str1": "c_mktsegment"}),
     ]
 )
 
@@ -1042,8 +1047,10 @@ _SINK_ORACLE = "\nUNION ALL\n".join(
     "s_sink_roundtrip_suite",
     oracle=_SINK_ORACLE,
     doc="S3/S5/S6/S7 sink roundtrips as driver rows: write the stage "
-    "parquet, the CSV triple file, the JSON vocabulary, and the "
-    "prediction TSV with the engine's sink helpers (sources/tsv.py), "
+    "parquet, the CSV triple file, the JSON vocabulary, the "
+    "prediction TSV, and an ORC stage (the columnar alternative "
+    "Spark ships natively) with the engine's sink helpers "
+    "(sources/tsv.py), "
     "read each back with the matching scan, and return the read-back "
     "rows — the oracle recomputes the same rows from the source "
     "tables, so a hash match proves the full write→scan roundtrip "
@@ -1099,6 +1106,12 @@ def s_sink_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{out_dir}/triples", sep=","
     )
 
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").orc(f"{out_dir}/cust_orc")
+    back_orc = spark.read.orc(f"{out_dir}/cust_orc")
+
     members = [
         ("parquet_stage", back_pq,
          {"id1": "n_nationkey", "id2": "n_regionkey", "str1": "n_name"}),
@@ -1107,6 +1120,9 @@ def s_sink_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          {"id1": "o_orderkey", "num1": "o_totalprice"}),
         ("csv_triples", back_csv,
          {"id1": "head", "id2": "tail", "str1": "rel"}),
+        ("orc_stage", back_orc,
+         {"id1": "c_custkey", "id2": "c_nationkey", "num1": "c_acctbal",
+          "str1": "c_mktsegment"}),
     ]
     out = None
     for op, df, slots in members:
