@@ -84,6 +84,7 @@ HEADLINE = [
     "r_mixture_sample",
     "d_fuzzy_pairs",
     "g_pagerank_fixed",
+    "corpus_pipeline_v2",
 ]
 
 

@@ -44,9 +44,7 @@ _LANG_CASE = (
 )
 
 
-@register(
-    "corpus_prep_e2e",
-    oracle=f"""
+_PREP_SQL = f"""
     WITH feat AS (
       SELECT doc_id, source, text,
              string_split_regex(trim(text), '\\s+') AS words,
@@ -75,7 +73,12 @@ _LANG_CASE = (
            n_words, bpe_tokens, quality
     FROM scored
     WHERE rn = 1 AND quality >= {MIN_QUALITY} AND n_words >= {MIN_WORDS}
-    """,
+"""
+
+
+@register(
+    "corpus_prep_e2e",
+    oracle=_PREP_SQL,
     doc="End-to-end corpus preparation: quality scoring + language ID "
     "+ BPE-ish token budget + exact-dedup survivor selection composed "
     "into one single-scan plan whose only shuffle is the survivor "
@@ -131,3 +134,112 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "detected_lang", "n_words", "bpe_tokens", "quality"
         )
     )
+
+
+def _v2_oracle() -> str:
+    from ..operators.sampling import MIXTURE_BUDGET, _hash_u_sql
+    from .text import SEQ_LEN
+
+    return f"""
+    WITH prep AS ({_PREP_SQL}),
+    counts AS (
+      SELECT source, count(*) AS n_s FROM prep GROUP BY source
+    ), k AS (
+      SELECT count(*) AS n_sources FROM counts
+    ), rates AS (
+      SELECT source,
+             round(least(1.0, ({MIXTURE_BUDGET}.0 / k.n_sources) / n_s), 6)
+               AS rate
+      FROM counts, k
+    ), kept AS (
+      SELECT p.doc_id, p.source, p.detected_lang,
+             CAST(p.bpe_tokens AS BIGINT) AS bpe_tokens,
+             p.quality, r.rate
+      FROM prep p JOIN rates r USING (source)
+      WHERE {_hash_u_sql('p.doc_id')} < r.rate
+    ), packed AS (
+      SELECT *, CAST(coalesce(sum(bpe_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM kept
+    )
+    SELECT doc_id, source, detected_lang, bpe_tokens, quality, rate,
+           cum_before,
+           cum_before // {SEQ_LEN} AS seq_id,
+           cum_before % {SEQ_LEN} AS seq_offset,
+           CASE WHEN cum_before % {SEQ_LEN} + bpe_tokens > {SEQ_LEN}
+                THEN 1 ELSE 0 END AS spans_boundary
+    FROM packed
+    """
+
+
+def _register_corpus_v2() -> None:
+    @register(
+        "corpus_pipeline_v2",
+        oracle=_v2_oracle(),
+        doc="The complete training-data preparation pipeline composed "
+        "end to end: quality filter + language ID + exact-dedup "
+        "survivors (corpus_prep_e2e, one scan + one survivor-window "
+        "shuffle) → deterministic domain-mixture rebalancing "
+        "(r_mixture_sample semantics on the SURVIVOR set: per-source "
+        "rates from one broadcast count, md5-uniform keep decisions) "
+        "→ fixed-length sequence packing of the kept docs "
+        "(t_sequence_pack semantics over the already-computed BPE "
+        "token counts, via the distributed prefix-sum — no "
+        "single-partition exchange). One declarative plan from raw "
+        "documents to train-ready (seq_id, offset) assignments; "
+        "every stage's member operator keeps its own oracle as unit "
+        "evidence while this query hash-verifies the composition.",
+        tags=("text", "dedup", "sampling", "pack", "pipeline", "e2e"),
+    )
+    def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..ids import prefix_sum
+        from ..operators.sampling import MIXTURE_BUDGET, _hash_u
+        from .text import SEQ_LEN
+
+        prep = corpus_prep_e2e(spark, sf_dir)
+        counts = prep.groupBy("source").agg(F.count("*").alias("n_s"))
+        k = counts.agg(F.count("*").alias("n_sources"))
+        rates = counts.crossJoin(F.broadcast(k)).select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(float(MIXTURE_BUDGET)) / F.col("n_sources"))
+                    / F.col("n_s"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+        kept = (
+            prep.join(F.broadcast(rates), "source")
+            .filter(_hash_u(F.col("doc_id")) < F.col("rate"))
+            .select(
+                "doc_id",
+                "source",
+                "detected_lang",
+                F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+                "quality",
+                "rate",
+            )
+        )
+        packed = prefix_sum(kept, ["doc_id"], "bpe_tokens", "cum_before")
+        off = F.col("cum_before") % SEQ_LEN
+        return packed.select(
+            "doc_id",
+            "source",
+            "detected_lang",
+            "bpe_tokens",
+            "quality",
+            "rate",
+            F.col("cum_before").cast("long").alias("cum_before"),
+            (F.col("cum_before") / SEQ_LEN).cast("long").alias("seq_id"),
+            off.cast("long").alias("seq_offset"),
+            F.when(off + F.col("bpe_tokens") > SEQ_LEN, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("spans_boundary"),
+        )
+
+
+_register_corpus_v2()

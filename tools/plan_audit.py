@@ -142,6 +142,9 @@ EXPECT: dict[str, dict] = {
     # the node-count scalar is a 1-row broadcast per iteration — the
     # scalar-subquery plan; edges live behind a localCheckpoint
     "g_pagerank_fixed": {"bnlj_ok": True},
+    # filter→dedup→mixture→pack composition: the source-count scalar
+    # is the 1-row broadcast; packing adds one range exchange
+    "corpus_pipeline_v2": {"bnlj_ok": True},
     # final cluster assembly: documents left-joined to the CC fixpoint
     # (a localCheckpointed star edge set — the iterations themselves
     # are lineage-truncated and audited by their own shape: two
