@@ -928,14 +928,18 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-checked contract is the ACCURACY: the query emits "
     "within_5pct = |approx - exact|/exact <= 0.05 per group and the "
     "oracle expects TRUE — a sketch drifting past 5% error flips the "
-    "value hash and fails the driver check. (The exact countDistinct "
-    "here exists only to grade the sketch; production callers use "
-    "the approx column alone.)",
+    "value hash and fails the driver check. The sketch runs at "
+    "rsd=0.01, making the 5% contract a 5-sigma bound: the default "
+    "rsd=0.05 is a 1-sigma bound that the sf0.1 soak actually saw "
+    "breached (5.29% on one group) — a sketch's rsd must be a few "
+    "sigma TIGHTER than the accuracy you promise downstream. (The "
+    "exact countDistinct here exists only to grade the sketch; "
+    "production callers use the approx column alone.)",
     tags=("agg", "approx"),
 )
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    approx = F.approx_count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.01)
     exact = F.countDistinct("user_id").cast("double")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
