@@ -351,3 +351,38 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("spans_boundary"),
     )
+
+
+def _register_pack_manifest() -> None:
+    from ..registry import REGISTRY
+
+    @register(
+        "t_pack_manifest",
+        oracle=f"""
+        WITH sp AS ({REGISTRY['t_sequence_pack'].oracle})
+        SELECT seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               list(doc_id ORDER BY doc_id) AS doc_ids,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_started
+        FROM sp GROUP BY seq_id
+        """,
+        doc="Per-sequence packing manifest: for every packed training "
+        "sequence, the ordered list of documents that START in it, "
+        "their count, and their total token mass — the index a "
+        "data-loader uses to materialize packed batches without "
+        "re-deriving the packing. One groupBy(seq_id) over "
+        "t_sequence_pack's output; the doc list is sort_array'd so "
+        "the array value is deterministic under any aggregation "
+        "order (collect_list alone is partition-order-dependent).",
+        tags=("text", "pack"),
+    )
+    def t_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sp = t_sequence_pack(spark, sf_dir)
+        return sp.groupBy("seq_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.sum("n_tokens").cast("long").alias("tokens_started"),
+        )
+
+
+_register_pack_manifest()
