@@ -85,6 +85,7 @@ HEADLINE = [
     "d_fuzzy_pairs",
     "g_pagerank_fixed",
     "corpus_pipeline_v2",
+    "d_incremental_dedup",
 ]
 
 

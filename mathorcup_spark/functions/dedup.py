@@ -170,7 +170,7 @@ _MH_B = [(69621 * (i * i + 1)) % _MH_P for i in range(N_HASHES)]
 # → banded signatures → DISTINCT candidate pairs. d_minhash_lsh
 # selects the candidates directly; d_lsh_rescore_e2e joins them back
 # to the shingle sets for the exact-Jaccard rescore.
-_MINHASH_CTES = f"""
+_MINHASH_BANDED_CTES = f"""
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -201,7 +201,10 @@ _MINHASH_CTES = f"""
                AS bucket,
              sig
       FROM sig, range(0, 4) b(b)
-    ), cand AS (
+    )
+"""
+
+_MINHASH_CTES = f"""{_MINHASH_BANDED_CTES}, cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
              CAST(len(list_filter(range(1, 17), i -> a.sig[i] = c.sig[i]))
                   AS DOUBLE) / 16 AS est_jaccard
@@ -271,6 +274,35 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
     aggregation collapses the exploded rows map-side; the shuffle
     carries (doc_id, 16 longs) per document.
     """
+    banded = _banded_sigs(sh)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _banded_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket, sig) banded MinHash signatures from a
+    (doc_id, shingles) frame — the index layout both the corpus-wide
+    self-join and the incremental new-vs-index join probe."""
     # explode_outer, NOT explode: a plain explode lets Catalyst's
     # InferFiltersFromGenerate add a (vacuously true — _shingles always
     # yields >= 1 element) size(shingles) > 0 filter that predicate
@@ -295,7 +327,7 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
     )
     rows_per_band = N_HASHES // N_BANDS
-    banded = with_sig.select(
+    return with_sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -315,28 +347,6 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
         ).alias("bb"),
         F.col("sig"),
     ).select("doc_id", "bb.band", "bb.bucket", "sig")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (agree.cast("double") / N_HASHES).alias("est_jaccard"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
 
 
 _LSH_RESCORE_ORACLE = f"""
@@ -747,4 +757,92 @@ def d_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         dist.cast("long").alias("edit_dist"),
         F.round(F.lit(1.0) - dist.cast("double") / mx, 6).alias("sim"),
+    )
+
+
+_INCR_ORACLE = f"""
+    WITH {_MINHASH_BANDED_CTES},
+    tt AS (
+      SELECT (max(doc_id) * 4) // 5 AS t FROM documents
+    ),
+    icand AS (
+      SELECT DISTINCT a.doc_id AS idx_id, c.doc_id AS new_id,
+             CAST(len(list_filter(range(1, 17), i -> a.sig[i] = c.sig[i]))
+                  AS DOUBLE) / 16 AS est_jaccard
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.bucket = c.bucket
+      CROSS JOIN tt
+      WHERE a.doc_id < tt.t AND c.doc_id >= tt.t
+    )
+    SELECT icand.idx_id, icand.new_id, icand.est_jaccard,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
+             AS jaccard
+    FROM icand
+    JOIN sh sa ON sa.doc_id = icand.idx_id
+    JOIN sh sb ON sb.doc_id = icand.new_id
+"""
+
+
+@register(
+    "d_incremental_dedup",
+    oracle=_INCR_ORACLE,
+    doc="Incremental dedup: dedupe a NEW document batch against the "
+    "EXISTING corpus's signature index instead of re-deduping the "
+    "whole corpus — the only ingest pattern that works at 100 TB "
+    "(the corpus-wide self-join is a one-time backfill; every "
+    "subsequent batch probes the index). The last 20% of doc_ids "
+    "play the arriving batch (threshold = data-derived scalar, one "
+    "1-row broadcast): signatures are computed for ALL docs here "
+    "only because the demo builds its index in-query — in "
+    "production the index side is the (band,bucket)-partitioned "
+    "layout persisted by sources/ann_index.py and the per-batch "
+    "cost is new-docs signatures + one bucket equi-join against it. "
+    "Collisions rescore with exact shingle Jaccard, same contract "
+    "as d_lsh_rescore_e2e: (idx_id, new_id, est_jaccard, jaccard).",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingle_df(spark, sf_dir)
+    banded = _banded_sigs(sh)
+    tt = docs.agg(
+        F.expr("(max(doc_id) * 4) div 5").cast("long").alias("t")
+    )
+    b = banded.crossJoin(F.broadcast(tt))
+    idx = b.filter(F.col("doc_id") < F.col("t")).drop("t").alias("a")
+    new = b.filter(F.col("doc_id") >= F.col("t")).drop("t").alias("c")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("c.sig"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    cand = (
+        idx.join(
+            new,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("idx_id"),
+            F.col("c.doc_id").alias("new_id"),
+            (agree.cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+        .dropDuplicates(["idx_id", "new_id"])
+    )
+    sa = sh.select(F.col("doc_id").alias("idx_id"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.join(sa, "idx_id")
+        .join(sb, "new_id")
+        .select(
+            "idx_id",
+            "new_id",
+            "est_jaccard",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
     )

@@ -563,6 +563,8 @@ _dedup_oracle, _dedup_fn = _suite(
         ("fuzzy", "d_fuzzy_pairs",
          {"id1": "doc_a", "id2": "doc_b", "num1": "sim",
           "str1": "edit_dist"}),
+        ("incremental", "d_incremental_dedup",
+         {"id1": "idx_id", "id2": "new_id", "num1": "jaccard"}),
     ],
 )
 
@@ -574,10 +576,10 @@ _dedup_oracle, _dedup_fn = _suite(
     "windowed n-gram Jaccard scoring, deterministic survivor "
     "selection, sign-LSH embedding near-dup with Arrow rescore, and "
     "connected-components cluster assignment (large-star/small-star "
-    "vs a recursive-CTE oracle), and prefix-bounded levenshtein "
-    "fuzzy scoring — each member's full pair/survivor/cluster output "
-    "hash-verified in one driver row. Members stay registered as the "
-    "user-facing API.",
+    "vs a recursive-CTE oracle), prefix-bounded levenshtein fuzzy "
+    "scoring, and incremental new-batch-vs-index dedup — each "
+    "member's full pair/survivor/cluster output hash-verified in one "
+    "driver row. Members stay registered as the user-facing API.",
     tags=("dedup", "suite"),
 )
 def d_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,6 +145,9 @@ EXPECT: dict[str, dict] = {
     # filter→dedup→mixture→pack composition: the source-count scalar
     # is the 1-row broadcast; packing adds one range exchange
     "corpus_pipeline_v2": {"bnlj_ok": True},
+    # the batch-split threshold is a 1-row broadcast scalar; the
+    # new-vs-index probe is the (band,bucket) hash equi-join
+    "d_incremental_dedup": {"bnlj_ok": True},
     # final cluster assembly: documents left-joined to the CC fixpoint
     # (a localCheckpointed star edge set — the iterations themselves
     # are lineage-truncated and audited by their own shape: two
