@@ -386,3 +386,52 @@ def _register_pack_manifest() -> None:
 
 
 _register_pack_manifest()
+
+
+BOILERPLATE_MIN_DF = 5
+BOILERPLATE_TOP = 50
+
+
+@register(
+    "t_boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             ))) AS shingle
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    )
+    SELECT shingle, count(*) AS df
+    FROM sh GROUP BY shingle
+    HAVING count(*) >= {BOILERPLATE_MIN_DF}
+    ORDER BY df DESC, shingle
+    LIMIT {BOILERPLATE_TOP}
+    """,
+    doc="Boilerplate n-gram detection (the C4-style line/phrase dedup "
+    "signal): word-3-grams appearing in many DISTINCT documents are "
+    "headers, footers, templates — the phrases a corpus-cleaning "
+    "pass strips before training. Shingle sets are distinct per doc, "
+    "so one explode + groupBy(shingle) count IS the document "
+    "frequency (map-side partial agg; no countDistinct shuffle), "
+    "HAVING df >= 5, top-50 via TakeOrderedAndProject (per-partition "
+    "top-k + driver merge, no global sort, deterministic shingle "
+    "tiebreak). Reuses the MinHash shingle builder, so boilerplate "
+    "and near-dup signals come from one tokenization.",
+    tags=("text", "boilerplate", "dedup"),
+)
+def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _shingle_df
+
+    sh = _shingle_df(spark, sf_dir)
+    return (
+        sh.select(F.explode_outer("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .orderBy(F.desc("df"), "shingle")
+        .limit(BOILERPLATE_TOP)
+    )

@@ -686,6 +686,8 @@ _text_oracle, _text_fn = _suite(
          {"id1": "doc_id", "n1": "n_tokens", "n2": "cum_before",
           "num1": "seq_id", "num2": "seq_offset",
           "num3": "spans_boundary"}),
+        ("boilerplate", "t_boilerplate_ngrams",
+         {"str1": "shingle", "n1": "df"}),
         ("corpus_v2", "corpus_pipeline_v2",
          {"id1": "doc_id", "n1": "bpe_tokens", "n2": "cum_before",
           "num1": "quality", "num2": "rate", "num3": "seq_id",
@@ -702,9 +704,10 @@ _text_oracle, _text_fn = _suite(
     "(length/punct/stopword ratios), n-gram-heuristic language ID, "
     "whitespace + BPE-ish token counting, rolling-hash document "
     "fingerprinting, per-source TF-IDF top terms, fixed-length "
-    "sequence packing (distributed prefix-sum), and the complete "
-    "corpus_pipeline_v2 composition (filter → dedup → mixture → "
-    "pack) — full member outputs hash-verified in one row.",
+    "sequence packing (distributed prefix-sum), boilerplate n-gram "
+    "detection, and the complete corpus_pipeline_v2 composition "
+    "(filter → dedup → mixture → pack) — full member outputs "
+    "hash-verified in one row.",
     tags=("text", "suite"),
 )
 def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
