@@ -547,3 +547,81 @@ def f_cyclic_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         cyc(day, 31, F.sin, "day_sin"),
         cyc(day, 31, F.cos, "day_cos"),
     )
+
+
+HASH_DIM = 64  # feature-hash bucket count (power of two, per convention)
+
+# md5-based bucket: first 8 hex chars -> uint32 -> mod D. Same
+# construction as sampling._hash_u but mod-D instead of /2^32 —
+# engine-portable (DuckDB has no xxhash64).
+_FH_POW16 = [16 ** (7 - i) for i in range(8)]
+
+
+def _fh_bucket(key) -> F.Column:
+    u32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (u32 % HASH_DIM).cast("long")
+
+
+def _fh_bucket_sql(key_expr: str) -> str:
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({key_expr}),"
+        f" {i + 1}, 1)) - 1) * {_FH_POW16[i]}"
+        for i in range(8)
+    )
+    return f"(({digits}) % {HASH_DIM})"
+
+
+@register(
+    "e_feature_hash",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'p_brand' AS feature, p_brand AS value FROM part
+      UNION ALL
+      SELECT 'p_type', p_type FROM part
+      UNION ALL
+      SELECT 'p_size', CAST(p_size AS VARCHAR) FROM part
+    ), hashed AS (
+      SELECT feature, value,
+             {_fh_bucket_sql("feature || ':' || value")} AS bucket
+      FROM f
+    ), domain AS (
+      SELECT DISTINCT feature, value, bucket FROM hashed
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(count(*) - 1 AS BIGINT) AS n_collisions,
+           min(feature || ':' || value) AS example_value
+    FROM domain GROUP BY bucket
+    """,
+    doc=f"Feature hashing (the hashing trick): categorical "
+    f"feature:value tokens map to {HASH_DIM} buckets via an "
+    "md5-derived hash — the E1 dictionary WITHOUT a dictionary: no "
+    "vocabulary build, no shuffle to assign ids, no growth as new "
+    "values arrive, which is why wide categorical spaces at 100 TB "
+    "hash instead of encode. The query reports the bucket load map "
+    "(values per bucket, collisions = load - 1, an example token) — "
+    "the collision audit that decides the dimension. The hash is "
+    "the engine-portable md5-prefix construction shared with the "
+    "deterministic samplers.",
+    tags=("E1", "E3", "hashing"),
+)
+def e_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    pieces = []
+    for feat in ("p_brand", "p_type", "p_size"):
+        pieces.append(
+            part.select(
+                F.lit(feat).alias("feature"),
+                F.col(feat).cast("string").alias("value"),
+            )
+        )
+    f = pieces[0].unionByName(pieces[1]).unionByName(pieces[2])
+    tok = F.concat_ws(":", "feature", "value")
+    domain = f.select(
+        "feature", "value", _fh_bucket(tok).alias("bucket")
+    ).distinct()
+    return domain.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        (F.count(F.lit(1)) - 1).alias("n_collisions"),
+        F.min(F.concat_ws(":", "feature", "value")).alias("example_value"),
+    )

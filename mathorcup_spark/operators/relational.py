@@ -536,6 +536,74 @@ def a_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag, l.l_extendedprice, m.med,
+             abs(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, median(adev) AS mad FROM dev
+      GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           round(d.med, 6) AS med,
+           round(x.mad, 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * x.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad x USING (l_returnflag)
+    GROUP BY d.l_returnflag, d.med, x.mad
+    ORDER BY d.l_returnflag
+    """,
+    doc="Robust outlier detection via median absolute deviation: per "
+    "group, median, MAD, and the count of rows beyond the standard "
+    "3-sigma-equivalent cut (3 x 1.4826 x MAD) — the data-cleaning "
+    "screen that, unlike mean/std, one corrupt billion-value row "
+    "cannot distort. Two exact-median passes (groupBy percentile "
+    "agg) each broadcast back as a tiny per-group table; deviations "
+    "never leave their scan-side task. The same scale caveat as "
+    "a_group_quantiles applies to exact medians; approx_percentile "
+    "is the drop-in at extreme group sizes.",
+    tags=("A1", "quantiles", "cleaning"),
+)
+def a_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Windows / sorts / top-k
 # ---------------------------------------------------------------------------

@@ -281,6 +281,9 @@ _agg_members_oracle = "\nUNION ALL\n".join(
                    {"k1": "k1", "k2": "k2", "num1": "num1"}),
         _remap_sql(_QUANTILES_LONG_SQL, "quantiles", _AGG_SCHEMA,
                    {"k1": "k1", "k2": "k2", "n": "n", "num1": "num1"}),
+        _remap_sql(_oracle_of("a_outlier_mad"), "outlier_mad", _AGG_SCHEMA,
+                   {"k1": "l_returnflag", "k2": "n_outliers",
+                    "n": "n", "num1": "mad"}),
     ]
 )
 
@@ -292,8 +295,9 @@ _agg_members_oracle = "\nUNION ALL\n".join(
     "(mean/std/min/max/count, unpivoted), distinct union domain "
     "(A5/U1), row dedup (A6), 40-bin histogram (A7), group degree "
     "norm (A8/G2), the 8-aggregate grouped pass (TPC-H Q1 shape, "
-    "unpivoted), and exact grouped quantiles (p25-p95, unpivoted, "
-    "vs DuckDB quantile_cont) — each member's full result hash-verified "
+    "unpivoted), exact grouped quantiles (p25-p95, unpivoted, vs "
+    "DuckDB quantile_cont), and MAD-based robust outlier screening — "
+    "each member's full result hash-verified "
     "(reference src/data.py:108-125, src/utils.py:76-83, "
     "preprocess.py:135-160, src/graph.py:30-43).",
     tags=("A1", "A2", "A5", "A6", "A7", "A8", "A16", "G2", "suite"),
@@ -318,6 +322,9 @@ def rel_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _remap_df(_quantiles_long(spark, sf_dir), "quantiles",
                   _AGG_SCHEMA, {"k1": "k1", "k2": "k2", "n": "n",
                                 "num1": "num1"}),
+        _remap_df(R.a_outlier_mad(spark, sf_dir), "outlier_mad",
+                  _AGG_SCHEMA, {"k1": "l_returnflag", "k2": "n_outliers",
+                                "n": "n", "num1": "mad"}),
     ]
     out = pieces[0]
     for p in pieces[1:]:
@@ -788,6 +795,9 @@ _enc_oracle, _enc_fn = _suite(
         ("normalize_roundtrip", "a_normalize_roundtrip",
          {"id1": "c_custkey", "num1": "zscore", "num2": "minmax",
           "num3": "denorm"}),
+        ("feature_hash", "e_feature_hash",
+         {"id1": "bucket", "n1": "n_values", "n2": "n_collisions",
+          "str1": "example_value"}),
     ],
 )
 
@@ -796,9 +806,10 @@ _enc_oracle, _enc_fn = _suite(
     "e_encode_suite",
     oracle=_enc_oracle,
     doc="E1-E3 + A3/A4 + M6 composed: ordered vocabulary build with "
-    "reverse lookup, row vectorization via dictionary joins, and "
-    "z-score/min-max normalize-denormalize roundtrip — full member "
-    "outputs hash-verified in one driver row "
+    "reverse lookup, row vectorization via dictionary joins, "
+    "z-score/min-max normalize-denormalize roundtrip, and the "
+    "hashing-trick encoder with its bucket-collision audit — full "
+    "member outputs hash-verified in one driver row "
     "(reference src/data.py:131-182, src/utils.py:60-83).",
     tags=("E1", "E2", "E3", "A3", "A4", "M6", "suite"),
 )
