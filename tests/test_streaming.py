@@ -227,3 +227,48 @@ def test_streaming_checkpoint_restart_exactly_once(spark, event_dir, tmp_path):
     want = spark.read.parquet(full).select("event_id", "user_id", "event_type")
     assert got.count() == want.count()  # nothing lost, nothing doubled
     assert got.select("event_id").distinct().count() == want.count()
+
+
+def test_streaming_static_dim_join_matches_batch(spark, event_dir):
+    """Stream-static enrichment: the event stream joined to a static
+    customer dimension (user_id -> nation). The static side is read
+    once per micro-batch and broadcast — the standard streaming
+    enrichment pattern; at scale the dim is a slowly-changing table
+    the stream re-reads, never state-store material. Verified
+    against the identical batch join.
+    """
+    static_dim = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+
+    def build(events):
+        return (
+            events.join(F.broadcast(static_dim), "user_id")
+            .groupBy("nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_dir)
+    q = (
+        build(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_static_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.sql("SELECT * FROM t_static_join").collect()))
+    finally:
+        q.stop()
+    want = sorted(map(tuple, build(spark.read.parquet(event_dir)).collect()))
+    assert got == want and len(got) > 0
