@@ -256,6 +256,38 @@ def j_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_full_outer",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey, c.c_nationkey AS cust_nation,
+           s.s_nationkey AS supp_nation
+    FROM (SELECT c_custkey, c_nationkey FROM customer
+          WHERE c_custkey <= 300) c
+    FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+      ON c.c_custkey = s.s_suppkey
+    """,
+    doc="Full outer join — the reconciliation shape (rows present on "
+    "either side survive, with NULLs marking the absent side). A "
+    "full outer cannot broadcast either side (both sides' unmatched "
+    "rows must surface), so the plan is the shuffle sort-merge join "
+    "on the key — the strategy that scales; the filters still push "
+    "into both scans.",
+    tags=("J-outer",),
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", F.col("c_nationkey").alias("cust_nation"))
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("supp_nation")
+    )
+    return cust.join(supp, cust.c_custkey == supp.s_suppkey, "full_outer").select(
+        "c_custkey", "s_suppkey", "cust_nation", "supp_nation"
+    )
+
+
+@register(
     "j_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer c

@@ -162,6 +162,9 @@ _join_oracle, _join_fn = _suite(
          {"id1": "o_orderkey", "str1": "c_name", "num1": "o_totalprice"}),
         ("left_outer", "j_left_outer",
          {"id1": "c_custkey", "id2": "o_orderkey"}),
+        ("full_outer", "j_full_outer",
+         {"id1": "c_custkey", "id2": "s_suppkey", "str1": "cust_nation",
+          "str2": "supp_nation"}),
         ("semi", "j_semi", {"id1": "c_custkey", "str1": "c_name"}),
         ("anti", "j_anti", {"id1": "c_custkey", "str1": "c_name"}),
         ("lookup_encode", "j_lookup_encode",
@@ -174,8 +177,9 @@ _join_oracle, _join_fn = _suite(
     "rel_join_suite",
     oracle=_join_oracle,
     doc="J1-J5 composed: broadcast inner (J1/J3), filtered inner (J2), "
-    "left outer, semi (EXISTS), anti (J5/U2), dictionary lookup-encode "
-    "(J4/E1/E2/F11) — full member outputs in one union "
+    "left outer, full outer (reconciliation), semi (EXISTS), anti "
+    "(J5/U2), dictionary lookup-encode (J4/E1/E2/F11) — full member "
+    "outputs in one union "
     "(reference src/utils.py:241-290, src/data.py:131-182).",
     tags=("J1", "J2", "J3", "J4", "J5", "F11", "suite"),
 )
