@@ -148,6 +148,19 @@ EXPECT: dict[str, dict] = {
     # the batch-split threshold is a 1-row broadcast scalar; the
     # new-vs-index probe is the (band,bucket) hash equi-join
     "d_incremental_dedup": {"bnlj_ok": True},
+    "u_bidirectional_edges": {},
+    "a_rollup_subtotals": {},
+    "d_simhash": {},
+    "d_lsh_rescore_e2e": {},
+    "sim_lsh_ann": {},
+    # metric suites assemble scalar outputs by crossJoining 1-row
+    # aggregates — BroadcastNestedLoopJoin over single rows is the
+    # scalar-assembly plan (same as ev_funnel_conversion)
+    "m_regression_suite": {"bnlj_ok": True},
+    "g_bidirectional_mrr": {"bnlj_ok": True},
+    # the fixture derives carid from a max(partkey) scalar — a 1-row
+    # aggregate broadcast (scalar-subquery plan, BNLJ over one row)
+    "car_pipeline_e2e": {"bnlj_ok": True},
     # final cluster assembly: documents left-joined to the CC fixpoint
     # (a localCheckpointed star edge set — the iterations themselves
     # are lineage-truncated and audited by their own shape: two
