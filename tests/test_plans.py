@@ -139,3 +139,12 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_full_outer_join_uses_shuffle_strategy(spark):
+    """A full outer join cannot broadcast either side (both sides'
+    unmatched rows must surface) — the plan must be the shuffle
+    sort-merge join, which is also the strategy that scales."""
+    plan = _plan(spark, "j_full_outer")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin FullOuter" not in plan
