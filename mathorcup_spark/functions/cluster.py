@@ -20,9 +20,13 @@ equi-join — no windows, no driver-side graph state. Convergence is
 O(log n) rounds even for path graphs (proved in the paper; near-dup
 clusters are near-cliques from shared LSH buckets, so 2-3 rounds in
 practice). Per round the iterate is `localCheckpoint`ed to truncate
-lineage and the previous iterate unpersisted; the only driver-side
-value is the fixpoint signature (edge count + order-independent
-hash sum), so driver memory is O(1) at any corpus size.
+lineage; checkpoint blocks of superseded rounds are reclaimed lazily
+by the ContextCleaner once their RDDs fall out of scope (the explicit
+``unpersist()`` only clears CacheManager entries — bounded residue,
+since the edge set shrinks toward the star forest each round). The
+only driver-side value is the fixpoint signature (edge count +
+order-independent hash sum), so driver memory is O(1) at any corpus
+size.
 
 Reference analog: the reference dedups eagerly in pandas
 (src/utils.py:161-202 spirit — drop_duplicates after scoring);
@@ -101,6 +105,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         )
         nxt = ss.localCheckpoint(eager=False)
         nsig = _signature(nxt)
+        # best-effort: clears CacheManager entries; the checkpoint's
+        # RDD blocks are reclaimed lazily by the ContextCleaner when
+        # the superseded DataFrame goes out of scope below.
         e.unpersist()
         e = nxt
         if nsig == sig:
@@ -120,9 +127,9 @@ _CLUSTER_ORACLE = f"""
       FROM cand
       JOIN sh sa ON sa.doc_id = cand.doc_a
       JOIN sh sb ON sb.doc_id = cand.doc_b
-      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
             / (len(sa.shingles) + len(sb.shingles)
-               - len(list_intersect(sa.shingles, sb.shingles)))
+               - len(list_intersect(sa.shingles, sb.shingles))), 6)
             >= {NEARDUP_JACCARD}
     ),
     bidir AS (

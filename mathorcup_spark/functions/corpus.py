@@ -234,7 +234,9 @@ def _register_corpus_v2() -> None:
             "quality",
             "rate",
             F.col("cum_before").cast("long").alias("cum_before"),
-            (F.col("cum_before") / SEQ_LEN).cast("long").alias("seq_id"),
+            # exact integer floor division, matching the oracle's `//`
+            # (double division mis-rounds once cum_before > 2^53)
+            F.expr(f"cum_before div {SEQ_LEN}").alias("seq_id"),
             off.cast("long").alias("seq_offset"),
             F.when(off + F.col("bpe_tokens") > SEQ_LEN, F.lit(1))
             .otherwise(F.lit(0))

@@ -240,7 +240,14 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles): distinct word-3-gram shingle sets.
+    """(doc_id, shingles) for the ``documents`` table at ``sf_dir``."""
+    return shingles_from(spark, load(spark, sf_dir, "documents"))
+
+
+def shingles_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles): distinct word-3-gram shingle sets of any
+    (doc_id, text, ...) frame — shared by the corpus-wide queries and
+    the persisted-index build/probe (sources/minhash_index.py).
 
     Tokenize BEFORE the repartition exchange: the shingle lambda
     references the words array ~3x per index, and Catalyst's
@@ -248,7 +255,6 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (no CSE inside lambdas) — the exchange is a barrier
     it cannot cross, so the split runs once per row.
     """
-    docs = load(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     wdf = docs.select("doc_id", words.alias("words"))
     if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
@@ -726,7 +732,7 @@ _register_embedding_neardup()
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist,
            round(1.0 - CAST(levenshtein(a.prefix, b.prefix) AS DOUBLE)
-                 / greatest(length(a.prefix), length(b.prefix)), 6) AS sim
+                 / greatest(length(a.prefix), length(b.prefix), 1), 6) AS sim
     FROM p a JOIN p b
       ON a.source = b.source
      AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
@@ -751,7 +757,10 @@ def d_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = _id_window_join(p)
     dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
-    mx = F.greatest(F.length("a.prefix"), F.length("b.prefix"))
+    # floor the denominator at 1: two empty/whitespace-only docs have
+    # '' prefixes, and 0/0 is NULL in Spark but NaN in DuckDB — both
+    # engines now score the degenerate pair 1.0 (dist is 0 anyway)
+    mx = F.greatest(F.length("a.prefix"), F.length("b.prefix"), F.lit(1))
     return j.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
@@ -794,11 +803,10 @@ _INCR_ORACLE = f"""
     "(the corpus-wide self-join is a one-time backfill; every "
     "subsequent batch probes the index). The last 20% of doc_ids "
     "play the arriving batch (threshold = data-derived scalar, one "
-    "1-row broadcast): signatures are computed for ALL docs here "
-    "only because the demo builds its index in-query — in "
-    "production the index side is the (band,bucket)-partitioned "
-    "layout persisted by sources/ann_index.py and the per-batch "
-    "cost is new-docs signatures + one bucket equi-join against it. "
+    "1-row broadcast): this variant builds its index in-query (both "
+    "sides from one signature pass) — d_incremental_index_dedup is "
+    "the production form that probes the PERSISTED partition-pruned "
+    "index (sources/minhash_index.py). "
     "Collisions rescore with exact shingle Jaccard, same contract "
     "as d_lsh_rescore_e2e: (idx_id, new_id, est_jaccard, jaccard).",
     tags=("dedup", "minhash", "lsh", "incremental"),
@@ -846,3 +854,49 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "d_incremental_index_dedup",
+    oracle=_INCR_ORACLE,
+    doc="Incremental dedup against a PERSISTED MinHash band index — "
+    "the production ingest path d_incremental_dedup only argues for, "
+    "executed: the first 80% of doc_ids (the corpus) is written to "
+    "the (band, pb)-partitioned, bucket-sorted index layout of "
+    "sources/minhash_index.py; the last 20% (the arriving batch) "
+    "computes its own signatures and probes the index with literal "
+    "partition filters + a bucket IN-list (row-group pruning on the "
+    "sorted bucket column), then point-fetches candidate shingle "
+    "sets from the dp-partitioned shingle store for the exact "
+    "rescore. Identical output contract and oracle as "
+    "d_incremental_dedup — the persisted probe is value-verified "
+    "against the in-query build — while the physical plan proves "
+    "per-batch cost is bounded by the batch (PartitionFilters on "
+    "every index scan; asserted in tests/test_minhash_index.py and "
+    "tools/plan_audit.py). Reference analog: the dictionary "
+    "persist/reload discipline at reference/src/data.py:160-174.",
+    tags=("dedup", "minhash", "lsh", "incremental", "index"),
+)
+def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.minhash_index import probe_minhash_index, write_minhash_index
+
+    docs = load(spark, sf_dir, "documents")
+    # threshold = the same data-derived scalar as d_incremental_dedup;
+    # splitting corpus/batch BEFORE the index write requires it on the
+    # driver (one 1-row action — the index write is a driver-side
+    # action anyway).
+    t = int(docs.agg(F.expr("(max(doc_id) * 4) div 5")).first()[0])
+    out = tempfile.mkdtemp(prefix="mathorcup_mh_index_")
+    try:
+        write_minhash_index(spark, docs.filter(F.col("doc_id") < t), out)
+        result = probe_minhash_index(
+            spark, out, docs.filter(F.col("doc_id") >= t)
+        )
+        # materialize before the index directory is deleted: the probe
+        # result is batch-bounded, so the checkpoint is small
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -345,7 +345,10 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "cum_before",
-        (F.col("cum_before") / SEQ_LEN).cast("long").alias("seq_id"),
+        # exact integer floor division (`div`), matching the oracle's
+        # `//`: double division rounds wrong near multiples of SEQ_LEN
+        # once cum_before exceeds 2^53 (reachable at 100 TB token mass)
+        F.expr(f"cum_before div {SEQ_LEN}").alias("seq_id"),
         off.alias("seq_offset"),
         F.when(off + F.col("n_tokens") > SEQ_LEN, F.lit(1))
         .otherwise(F.lit(0))

@@ -576,6 +576,9 @@ _dedup_oracle, _dedup_fn = _suite(
           "str1": "edit_dist"}),
         ("incremental", "d_incremental_dedup",
          {"id1": "idx_id", "id2": "new_id", "num1": "jaccard"}),
+        ("incremental_index", "d_incremental_index_dedup",
+         {"id1": "idx_id", "id2": "new_id", "num1": "jaccard",
+          "str1": "est_jaccard"}),
     ],
 )
 
@@ -588,9 +591,11 @@ _dedup_oracle, _dedup_fn = _suite(
     "selection, sign-LSH embedding near-dup with Arrow rescore, and "
     "connected-components cluster assignment (large-star/small-star "
     "vs a recursive-CTE oracle), prefix-bounded levenshtein fuzzy "
-    "scoring, and incremental new-batch-vs-index dedup — each "
-    "member's full pair/survivor/cluster output hash-verified in one "
-    "driver row. Members stay registered as the user-facing API.",
+    "scoring, and incremental new-batch-vs-index dedup in BOTH forms "
+    "— in-query index build and the persisted partition-pruned index "
+    "probe (sources/minhash_index.py) — each member's full "
+    "pair/survivor/cluster output hash-verified in one driver row. "
+    "Members stay registered as the user-facing API.",
     tags=("dedup", "suite"),
 )
 def d_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
