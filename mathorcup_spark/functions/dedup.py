@@ -468,21 +468,36 @@ _SIMHASH_ORACLE = f"""
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    sh = _simhash_sigs(docs, keep=("source",))
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return _id_window_join(sh).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        hamming.cast("long").alias("hamming"),
+    )
+
+
+def _simhash_sigs(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, simhash): 64-bit SimHash signature per doc —
+    shared by the window-bounded scorer (d_simhash) and the
+    LSH-candidate composition (d_lsh_hamming_e2e).
+
+    Explode + 64 per-bit vote sums (map-side partial agg), then OR
+    the positive bits together — same no-nested-HOF rationale as
+    d_minhash_lsh. Bit i of the word hash = bit (i%4) of hex digit
+    i//4 of md5(word), exactly the oracle's definition — but decoded
+    here via TWO conv() calls per row (hex halves -> 32-bit ints)
+    instead of 64 substr+instr string scans inside the aggregate:
+    hex digit k (1-indexed) of a half is bits (8-k)*4..+3, so every
+    vote is pure integer shift/mask arithmetic in codegen.
+    """
     words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
-    # Explode + 64 per-bit vote sums (map-side partial agg), then OR
-    # the positive bits together — same no-nested-HOF rationale as
-    # d_minhash_lsh. Bit i of the word hash = bit (i%4) of hex digit
-    # i//4 of md5(word), exactly the oracle's definition — but decoded
-    # here via TWO conv() calls per row (hex halves -> 32-bit ints)
-    # instead of 64 substr+instr string scans inside the aggregate:
-    # hex digit k (1-indexed) of a half is bits (8-k)*4..+3, so every
-    # vote is pure integer shift/mask arithmetic in codegen.
     exploded = (
-        docs.select("doc_id", "source", F.explode(words).alias("w"))
+        docs.select("doc_id", *keep, F.explode(words).alias("w"))
         .withColumn("h", F.md5("w"))
         .select(
             "doc_id",
-            "source",
+            *keep,
             F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
             F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
         )
@@ -495,7 +510,7 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         digit = F.shiftright(F.col(half), (8 - kk) * 4).bitwiseAND(15)
         return F.shiftright(digit, shift).bitwiseAND(1)
 
-    votes = exploded.groupBy("doc_id", "source").agg(
+    votes = exploded.groupBy("doc_id", *keep).agg(
         *[
             F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
@@ -513,13 +528,7 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    sh = votes.select("doc_id", "source", simhash.alias("simhash"))
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return _id_window_join(sh).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        hamming.cast("long").alias("hamming"),
-    )
+    return votes.select("doc_id", *keep, simhash.alias("simhash"))
 
 
 @register(
@@ -900,3 +909,74 @@ def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_HAMMING_E2E_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    w2 AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))) AS word
+      FROM documents
+    ), h2 AS (
+      SELECT doc_id, md5(word) AS hx FROM w2
+    ), votes2 AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN {_md5_bit_sql(i)} = 1 THEN 1 ELSE -1 END)"
+                 f" AS b{i}"
+                 for i in range(64))}
+      FROM h2 GROUP BY doc_id
+    ), bits2 AS (
+      SELECT doc_id,
+             [{", ".join(f"CASE WHEN b{i} > 0 THEN 1 ELSE 0 END"
+                          for i in range(64))}] AS bits
+      FROM votes2
+    )
+    SELECT cand.doc_a, cand.doc_b, cand.est_jaccard,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> CASE WHEN a.bits[i] <> c.bits[i] THEN 1 ELSE 0 END))
+                AS BIGINT) AS hamming
+    FROM cand
+    JOIN bits2 a ON a.doc_id = cand.doc_a
+    JOIN bits2 c ON c.doc_id = cand.doc_b
+"""
+
+
+@register(
+    "d_lsh_hamming_e2e",
+    oracle=_HAMMING_E2E_ORACLE,
+    doc="Corpus-wide SimHash scoring, composed end to end: MinHash-LSH "
+    "banded candidate generation (corpus-wide, cost bounded by bucket "
+    "collisions — the recall stage) followed by a SimHash "
+    "Hamming-distance rescore of only the candidate pairs — the "
+    "composition the d_simhash contract documents ('feed it LSH "
+    "candidates for corpus-wide scoring'), executed and "
+    "oracle-verified the way d_lsh_rescore_e2e does for exact "
+    "Jaccard. Signatures are 64-bit md5-vote SimHashes built with "
+    "map-side partial aggregation; the rescore is two hash "
+    "equi-joins on doc_id attaching each side's signature, then one "
+    "bit_count(XOR) per pair — O(1) per candidate vs the "
+    "shingle-intersection rescore's O(|shingles|), the cheap screen "
+    "a production pipeline runs before the exact one. Output: "
+    "(doc_a, doc_b, est_jaccard, hamming).",
+    tags=("dedup", "simhash", "minhash", "lsh", "e2e"),
+)
+def d_lsh_hamming_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cand = _minhash_candidates(_shingle_df(spark, sf_dir))
+    sigs = _simhash_sigs(docs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )

@@ -281,3 +281,81 @@ def ml_train_validation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d, round(m, 4), d == best_depth) for d, m in rows],
         "max_depth int, rmse double, is_best boolean",
     )
+
+
+@register(
+    "ml_checkpoint_roundtrip",
+    oracle=None,
+    doc="S9: model checkpoint save/load roundtrip — the reference "
+    "persists torch checkpoints and reloads them for inference "
+    "(first.py:80-81,120); the MLlib analog is PipelineModel.save → "
+    "PipelineModel.load. Fits the shared GBT price pipeline, "
+    "persists it, reloads it, re-predicts the SAME test split with "
+    "both the in-memory and the reloaded model, and returns one row "
+    "(n_mem, n_ckpt, roundtrip_exact) comparing row counts and an "
+    "order-independent checksum over (keys, prediction-bits) — a "
+    "loaded checkpoint must reproduce the fit bit-for-bit. The "
+    "checksum (decimal sum of xxhash64 per row) avoids a row-level "
+    "self-join, which the test data's duplicate (orderkey, "
+    "linenumber) keys would cross-product. Rows-only check (seeded "
+    "fit); the row itself asserts the equality so a driver green "
+    "row IS the roundtrip evidence.",
+    tags=("S9", "ml"),
+)
+def ml_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    df = _price_features(spark, sf_dir)
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="p_brand", outputCol="brand_id", handleInvalid="keep"),
+            VectorAssembler(
+                inputCols=["brand_id", "qty", "disc", "listprice", "y_off", "m_off"],
+                outputCol="features",
+            ),
+            GBTRegressor(
+                labelCol="price", featuresCol="features", maxIter=5, maxDepth=4,
+                seed=SEED,
+            ),
+        ]
+    )
+    train, test = df.randomSplit([0.7, 0.3], seed=SEED)
+    model = pipe.fit(train)
+    out_dir = tempfile.mkdtemp(prefix="mathorcup_ckpt_")
+    try:
+        model.write().overwrite().save(out_dir)
+        reloaded = PipelineModel.load(out_dir)
+
+        def checksum(m):
+            # order-independent: per-row xxhash64 over keys + the
+            # prediction's exact bit pattern, summed in decimal
+            out = m.transform(test).select(
+                F.xxhash64("l_orderkey", "l_linenumber", "price", "prediction")
+                .cast("decimal(28,0)")
+                .alias("h")
+            )
+            return out.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("h").alias("chk")
+            )
+
+        a = checksum(model).select(
+            F.col("n").alias("n_mem"), F.col("chk").alias("chk_mem")
+        )
+        b = checksum(reloaded).select(
+            F.col("n").alias("n_ckpt"), F.col("chk").alias("chk_ckpt")
+        )
+        summary = a.crossJoin(b).select(
+            "n_mem",
+            "n_ckpt",
+            (
+                (F.col("n_mem") == F.col("n_ckpt"))
+                & (F.col("chk_mem") == F.col("chk_ckpt"))
+            ).alias("roundtrip_exact"),
+        )
+        # materialize before the checkpoint directory is deleted
+        return summary.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

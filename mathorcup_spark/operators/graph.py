@@ -491,19 +491,43 @@ def _pagerank_oracle() -> str:
 )
 def g_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pairs = (
-        li.select(
-            (2 * F.col("l_suppkey")).alias("a"),
-            (2 * F.col("l_partkey") + 1).alias("b"),
-        )
-        .distinct()
-        # The edge list is referenced ~3x per iteration (contrib join,
-        # degree, node domain); localCheckpoint materializes the
-        # distinct once instead of re-running the lineitem scan +
-        # dedup shuffle per reference (measured 13.4s -> ~2s at
-        # sf0.01). Lazy: the first action materializes it.
-        .localCheckpoint(eager=False)
-    )
+    pairs = li.select(
+        (2 * F.col("l_suppkey")).alias("a"),
+        (2 * F.col("l_partkey") + 1).alias("b"),
+    ).distinct()
+    return pagerank(pairs, iters=_PR_ITERS)
+
+
+# Unroll-vs-checkpoint crossover: up to this many iterations the
+# rounds are unrolled into ONE declarative DAG (Catalyst pipelines
+# them; nothing to re-analyze per action). Past it, plan depth grows
+# linearly (2 joins + 1 aggregate per round) and Catalyst
+# analysis/optimization time blows up super-linearly around ~20
+# joins deep — so each round is lineage-truncated with a lazy
+# localCheckpoint instead (the cluster.py:102 discipline): the
+# analyzer only ever sees one round's plan, execution still runs
+# every round exactly once when the final action fires.
+_PR_UNROLL_MAX = 8
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = _PR_ITERS,
+    damping: float = _PR_D,
+    unroll_max: int = _PR_UNROLL_MAX,
+) -> DataFrame:
+    """(node, pagerank) after ``iters`` rounds over the undirected
+    pair list ``pairs`` (columns a, b). The library entry point behind
+    ``g_pagerank_fixed`` — parameterized iteration count with a
+    bounded-plan-depth guarantee (tests/test_properties.py runs 2 and
+    20 rounds and asserts the 20-round plan stays one round deep).
+    """
+    # The edge list is referenced ~3x per iteration (contrib join,
+    # degree, node domain); localCheckpoint materializes the
+    # distinct once instead of re-running the source scan + dedup
+    # shuffle per reference (measured 13.4s -> ~2s at sf0.01).
+    # Lazy: the first action materializes it.
+    pairs = pairs.localCheckpoint(eager=False)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -513,7 +537,8 @@ def g_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
-    for _ in range(_PR_ITERS):
+    checkpoint_rounds = iters > unroll_max
+    for _ in range(iters):
         contrib = (
             edges.join(pr.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -529,8 +554,10 @@ def g_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    (1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("s")
+                    (1 - damping) / F.col("n") + F.lit(damping) * F.col("s")
                 ).alias("pr"),
             )
         )
+        if checkpoint_rounds:
+            pr = pr.localCheckpoint(eager=False)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))

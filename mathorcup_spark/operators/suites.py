@@ -970,21 +970,23 @@ _ML_MEMBERS = (
     ("multitask_bundle", "ml_multitask_bundle"),
     ("scaler", "ml_scaler_fit_transform"),
     ("train_val_select", "ml_train_validation_select"),
+    ("checkpoint_roundtrip", "ml_checkpoint_roundtrip"),
 )
 
 
 @register(
     "ml_pipeline_suite",
     oracle=None,  # MLlib fits: no cross-engine oracle by design
-    doc="M1-M7 + G4 composed (rows-only): mean-aggregation message "
-    "passing, Word2Vec embedding pretrain, GBT price regression, "
-    "logistic sold classifier, multi-task bundle, scaler "
-    "fit/transform, train/validation model selection — one "
-    "deterministic count row per member pipeline; output values are "
-    "pinned per-fit in tests/test_graph_embed.py and "
-    "tests/test_car_pipeline.py (reference src/model.py, train.py, "
-    "second.py:118-151).",
-    tags=("M1", "M2", "M3", "M4", "M6", "M7", "G4", "suite"),
+    doc="M1-M7 + G4 + S9 composed (rows-only): mean-aggregation "
+    "message passing, Word2Vec embedding pretrain, GBT price "
+    "regression, logistic sold classifier, multi-task bundle, scaler "
+    "fit/transform, train/validation model selection, and the model "
+    "checkpoint save→load→re-predict roundtrip — one deterministic "
+    "count row per member pipeline; output values are pinned per-fit "
+    "in tests/test_graph_embed.py and tests/test_car_pipeline.py "
+    "(reference src/model.py, train.py, second.py:118-151, "
+    "first.py:80-81,120).",
+    tags=("M1", "M2", "M3", "M4", "M6", "M7", "G4", "S9", "suite"),
 )
 def ml_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
