@@ -103,7 +103,11 @@ HEADLINE = [
     "g_pagerank_fixed",
     "corpus_pipeline_v2",
     "d_incremental_dedup",
-    "d_incremental_index_dedup",
+    # d_incremental_index_dedup is deliberately NOT a headline: ~90%
+    # of its runtime is the one-time index BACKFILL (write of the
+    # partitioned band/shingle layouts), which would distort the
+    # recurring-cost total. Its perf signal is tools/mh_index_soak.py
+    # (probe cost flat across 100x index growth — SCALING.md).
 ]
 
 
