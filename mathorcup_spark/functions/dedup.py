@@ -980,3 +980,125 @@ def d_lsh_hamming_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming"),
         )
     )
+
+
+# Bucket-size cap for LSH candidate generation. The dedup-skew soak
+# (SCALING.md § duplicate-heavy corpus) measured the worst case: a
+# boilerplate-heavy corpus concentrates thousands of docs into a few
+# (band, bucket) keys and the self-join fans out quadratically INSIDE
+# them (1,500 template docs -> ~1.1M candidate pairs). Production LSH
+# dedup caps the bucket size: a bucket holding more docs than any
+# plausible near-dup cluster is boilerplate/exact-duplication, which
+# the exact-dedup and t_boilerplate_ngrams passes own — pairing its
+# members is O(k²) work for no new information. Skipped buckets are
+# observable via d_lsh_bucket_stats.
+MAX_BUCKET = 50
+
+_CAPPED_CTES = f"""{_MINHASH_BANDED_CTES}, bsz AS (
+      SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket
+    ), capped AS (
+      SELECT b.* FROM banded b JOIN bsz USING (band, bucket)
+      WHERE bsz.n <= {MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             CAST(len(list_filter(range(1, 17), i -> a.sig[i] = c.sig[i]))
+                  AS DOUBLE) / 16 AS est_jaccard
+      FROM capped a JOIN capped c
+        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    )
+"""
+
+
+@register(
+    "d_minhash_lsh_capped",
+    oracle=f"""
+    WITH {_CAPPED_CTES}
+    SELECT doc_a, doc_b, est_jaccard FROM cand
+    """,
+    doc="MinHash-LSH candidate pairs with a bucket-size cap: identical "
+    f"to d_minhash_lsh except (band, bucket) groups larger than "
+    f"{MAX_BUCKET} docs are skipped before the self-join — the "
+    "production guard against the quadratic within-bucket blow-up a "
+    "boilerplate-heavy corpus causes (measured in SCALING.md: 30% "
+    "template docs -> ~1.1M pairs uncapped). Oversized buckets are "
+    "boilerplate/exact-duplication signals owned by d_exact_dedup / "
+    "t_boilerplate_ngrams, not near-dup pairs worth O(k²) scoring; "
+    "d_lsh_bucket_stats reports what was skipped so the cap is "
+    "observable, never silent. The bucket-count aggregation shuffles "
+    "on the same (band, bucket) key as the candidate join, so the "
+    "guard adds one partial-agg pass, no new join strategy.",
+    tags=("dedup", "minhash", "lsh", "skew"),
+)
+def d_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = _banded_sigs(_shingle_df(spark, sf_dir))
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    capped = banded.join(
+        sizes.filter(F.col("n") <= MAX_BUCKET).drop("n"), ["band", "bucket"]
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@register(
+    "d_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_MINHASH_BANDED_CTES},
+    bsz AS (
+      SELECT band, bucket, count(*) AS n_docs FROM banded
+      GROUP BY band, bucket
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n_docs) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN n_docs > {MAX_BUCKET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped,
+           CAST(sum(CASE WHEN n_docs > {MAX_BUCKET} THEN n_docs ELSE 0 END)
+                AS BIGINT) AS docs_in_capped
+    FROM bsz GROUP BY band
+    """,
+    doc="Per-band LSH bucket histogram: bucket count, largest bucket, "
+    f"and how many buckets (and docs) exceed the MAX_BUCKET={MAX_BUCKET} "
+    "cap that d_minhash_lsh_capped skips — the observability row a "
+    "production dedup run monitors for boilerplate contamination "
+    "(a capped bucket means template/boilerplate mass the exact-dedup "
+    "and boilerplate passes should be absorbing). One groupBy over "
+    "the banded signatures with map-side partials.",
+    tags=("dedup", "minhash", "lsh", "skew"),
+)
+def d_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = _banded_sigs(_shingle_df(spark, sf_dir))
+    bsz = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    return bsz.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n_docs").alias("max_bucket"),
+        F.sum((F.col("n_docs") > MAX_BUCKET).cast("long")).alias("n_capped"),
+        F.sum(
+            F.when(F.col("n_docs") > MAX_BUCKET, F.col("n_docs")).otherwise(0)
+        ).alias("docs_in_capped"),
+    ).select(
+        F.col("band").cast("long").alias("band"),
+        "n_buckets",
+        "max_bucket",
+        "n_capped",
+        "docs_in_capped",
+    )

@@ -438,3 +438,225 @@ def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "shingle")
         .limit(BOILERPLATE_TOP)
     )
+
+
+# --- decontamination / repetition / PII (round 4) --------------------------
+
+CONTAM_N = 5  # n-gram width for the decontamination screen
+CONTAM_TAU = 0.1  # flagged when >10% of a doc's n-grams hit the eval set
+
+
+@register(
+    "t_contamination_screen",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - {CONTAM_N - 1}, 1) + 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    || ' ' || words[i+3] || ' ' || words[i+4]
+             )) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ), ev AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 100 = 0
+    ), corp AS (
+      SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+      FROM sh WHERE doc_id % 100 <> 0
+    ), hits AS (
+      SELECT corp.doc_id,
+             CAST(any_value(corp.n_shingles) AS BIGINT) AS n_shingles,
+             CAST(count(ev.s) AS BIGINT) AS n_contaminated
+      FROM corp LEFT JOIN ev ON ev.s = corp.s
+      GROUP BY corp.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6)
+             AS contamination_ratio,
+           CASE WHEN CAST(n_contaminated AS DOUBLE) / n_shingles
+                     > {CONTAM_TAU} THEN 1 ELSE 0 END AS flagged
+    FROM hits
+    """,
+    doc="Benchmark decontamination screen — the pass every LLM "
+    f"training pipeline runs before training: the {CONTAM_N}-gram "
+    "sets of a held-out eval slice (doc_id % 100 = 0 plays the "
+    "benchmark) are matched against every training document, and "
+    "docs whose n-gram overlap exceeds 10% are flagged for removal. "
+    "One explode + hash LEFT JOIN on the n-gram string + per-doc "
+    "count — the join key is the shingle, so the probe scales as an "
+    "equi-join at any corpus size (never a per-doc set comparison); "
+    "the eval side is DISTINCT n-grams only. Output: (doc_id, "
+    "n_shingles, n_contaminated, contamination_ratio, flagged).",
+    tags=("text", "contamination", "dedup"),
+)
+def t_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    wdf = docs.select("doc_id", words.alias("words"))
+    if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        wdf = wdf.repartition("doc_id")
+    wcol = F.col("words")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(wcol) - (CONTAM_N - 1), F.lit(1)))
+    # mirrors the oracle's 1-based range; F.get is 0-based; NULL
+    # members at the tail short-concat identically on both engines
+    # only when no member is NULL — the range cap keeps i+4 in bounds
+    gram = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(wcol, (i + j - 1).cast("int")) for j in range(CONTAM_N)]
+            ),
+        )
+    )
+    sh = wdf.select("doc_id", gram.alias("shingles"))
+    ev = (
+        sh.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corp = sh.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.size("shingles").alias("n_shingles"),
+        F.explode_outer("shingles").alias("s"),
+    )
+    ratio = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return (
+        corp.join(ev, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_shingles").cast("long").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(ratio, 6).alias("contamination_ratio"),
+            F.when(ratio > CONTAM_TAU, F.lit(1)).otherwise(F.lit(0)).alias("flagged"),
+        )
+    )
+
+
+REP_TOP_TAU = 0.2  # Gopher-style: top bigram over 20% of all bigrams
+REP_DISTINCT_TAU = 0.5  # or fewer than half the words distinct
+
+
+@register(
+    "t_repetition_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, len(words) AS n_words,
+             CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+               AS distinct_word_ratio,
+             unnest(list_transform(range(1, greatest(len(words) - 1, 1) + 1),
+                                   i -> words[i] || ' ' || words[i+1])) AS g
+      FROM w
+    ), counts AS (
+      SELECT doc_id, n_words, distinct_word_ratio, g, count(*) AS c
+      FROM grams GROUP BY ALL
+    )
+    SELECT doc_id,
+           CAST(any_value(n_words) AS BIGINT) AS n_words,
+           round(any_value(distinct_word_ratio), 6) AS distinct_word_ratio,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+           CASE WHEN CAST(max(c) AS DOUBLE) / sum(c) > {REP_TOP_TAU}
+                  OR any_value(distinct_word_ratio) < {REP_DISTINCT_TAU}
+                THEN 1 ELSE 0 END AS repetitive
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Intra-document repetition signals (the Gopher-rule family of "
+    "quality filters): distinct-word ratio and the fraction of all "
+    "word bigrams taken by the single most frequent bigram — "
+    "degenerate machine-generated or template text shows a dominant "
+    "repeated phrase long before a human reads it. flagged when the "
+    f"top bigram exceeds {REP_TOP_TAU:.0%} of bigrams or fewer than "
+    f"{REP_DISTINCT_TAU:.0%} of words are distinct. One explode + "
+    "two-level aggregate, map-side partials, no joins.",
+    tags=("text", "quality", "repetition"),
+)
+def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    wdf = docs.select("doc_id", words.alias("words"))
+    wcol = F.col("words")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(wcol) - 1, F.lit(1)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.get(wcol, (i - 1).cast("int")), F.get(wcol, i.cast("int"))
+        ),
+    )
+    base = wdf.select(
+        "doc_id",
+        F.size(wcol).alias("n_words"),
+        (F.size(F.array_distinct(wcol)).cast("double") / F.size(wcol)).alias(
+            "distinct_word_ratio"
+        ),
+        F.explode_outer(bigrams).alias("g"),
+    )
+    counts = base.groupBy("doc_id", "n_words", "distinct_word_ratio", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_frac = F.max("c").cast("double") / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.any_value("n_words").cast("long").alias("n_words"),
+        F.round(F.any_value("distinct_word_ratio"), 6).alias("distinct_word_ratio"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.when(
+            (top_frac > REP_TOP_TAU)
+            | (F.any_value("distinct_word_ratio") < REP_DISTINCT_TAU),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("repetitive"),
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^\\s]+"
+_LONG_DIGIT_RE = "[0-9]{6,}"
+
+
+@register(
+    "t_pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text, '{_LONG_DIGIT_RE}')) AS BIGINT)
+             AS n_long_digits,
+           CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0
+                  OR len(regexp_extract_all(text, '{_LONG_DIGIT_RE}')) > 0
+                THEN 1 ELSE 0 END AS has_pii_signal
+    FROM documents
+    """,
+    doc="PII / identifier scan (the C4-style scrub signal): per-doc "
+    "counts of email-shaped tokens, URLs, and long digit runs "
+    "(≥6 digits — phone/account/id shaped), plus a has_pii_signal "
+    "flag for the redaction or drop stage downstream. Pure "
+    "regexp_extract_all column work (patterns chosen to parse "
+    "identically under Java regex and RE2) — narrow, no shuffle, "
+    "linear to 100 TB.",
+    tags=("text", "pii", "quality"),
+)
+def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n(_EMAIL_RE).alias("n_emails"),
+        n(_URL_RE).alias("n_urls"),
+        n(_LONG_DIGIT_RE).alias("n_long_digits"),
+        F.when((n(_EMAIL_RE) > 0) | (n(_LONG_DIGIT_RE) > 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("has_pii_signal"),
+    )

@@ -579,6 +579,14 @@ _dedup_oracle, _dedup_fn = _suite(
         ("incremental_index", "d_incremental_index_dedup",
          {"id1": "idx_id", "id2": "new_id", "num1": "jaccard",
           "str1": "est_jaccard"}),
+        ("lsh_capped", "d_minhash_lsh_capped",
+         {"id1": "doc_a", "id2": "doc_b", "num1": "est_jaccard"}),
+        ("lsh_hamming", "d_lsh_hamming_e2e",
+         {"id1": "doc_a", "id2": "doc_b", "num1": "est_jaccard",
+          "str1": "hamming"}),
+        ("bucket_stats", "d_lsh_bucket_stats",
+         {"id1": "band", "id2": "n_buckets", "num1": "max_bucket",
+          "str1": "n_capped"}),
     ],
 )
 
@@ -591,11 +599,13 @@ _dedup_oracle, _dedup_fn = _suite(
     "selection, sign-LSH embedding near-dup with Arrow rescore, and "
     "connected-components cluster assignment (large-star/small-star "
     "vs a recursive-CTE oracle), prefix-bounded levenshtein fuzzy "
-    "scoring, and incremental new-batch-vs-index dedup in BOTH forms "
+    "scoring, incremental new-batch-vs-index dedup in BOTH forms "
     "— in-query index build and the persisted partition-pruned index "
-    "probe (sources/minhash_index.py) — each member's full "
-    "pair/survivor/cluster output hash-verified in one driver row. "
-    "Members stay registered as the user-facing API.",
+    "probe (sources/minhash_index.py) — plus the bucket-capped LSH "
+    "guard with its observability histogram and the LSH→SimHash-"
+    "Hamming composition: each member's full pair/survivor/cluster "
+    "output hash-verified in one driver row. Members stay registered "
+    "as the user-facing API.",
     tags=("dedup", "suite"),
 )
 def d_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,6 +719,16 @@ _text_oracle, _text_fn = _suite(
           "num1": "quality", "num2": "rate", "num3": "seq_id",
           "num4": "seq_offset", "str1": "source",
           "str2": "detected_lang", "str3": "spans_boundary"}),
+        ("contamination", "t_contamination_screen",
+         {"id1": "doc_id", "n1": "n_shingles", "n2": "n_contaminated",
+          "num1": "contamination_ratio", "num2": "flagged"}),
+        ("repetition", "t_repetition_stats",
+         {"id1": "doc_id", "n1": "n_words",
+          "num1": "distinct_word_ratio", "num2": "top_bigram_frac",
+          "num3": "repetitive"}),
+        ("pii_scan", "t_pii_scan",
+         {"id1": "doc_id", "n1": "n_emails", "n2": "n_urls",
+          "num1": "n_long_digits", "num2": "has_pii_signal"}),
     ],
 )
 
@@ -721,8 +741,10 @@ _text_oracle, _text_fn = _suite(
     "whitespace + BPE-ish token counting, rolling-hash document "
     "fingerprinting, per-source TF-IDF top terms, fixed-length "
     "sequence packing (distributed prefix-sum), boilerplate n-gram "
-    "detection, and the complete corpus_pipeline_v2 composition "
-    "(filter → dedup → mixture → pack) — full member outputs "
+    "detection, the complete corpus_pipeline_v2 composition "
+    "(filter → dedup → mixture → pack), benchmark decontamination "
+    "screening (eval n-gram hash join), Gopher-style repetition "
+    "stats, and the PII/identifier scan — full member outputs "
     "hash-verified in one row.",
     tags=("text", "suite"),
 )

@@ -202,3 +202,46 @@ def probe_minhash_index(
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )
+
+
+def append_to_minhash_index(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> None:
+    """Absorb a batch into the persisted index — the second half of
+    the ingest loop (probe the batch, emit its near-dup decisions,
+    then append it so the NEXT batch dedups against it too).
+
+    Appends are dynamic-partition file adds: the batch's banded
+    signatures land as new files inside their (band, pb) directories
+    (each file internally bucket-sorted, so row-group pruning holds
+    per file), and its shingle sets land in the dp directories derived
+    from the ORIGINAL width (``meta/`` is rewritten with the updated
+    doc count; width is fixed at creation — ids past the original max
+    simply open new dp directories). No existing file is rewritten,
+    so append cost is batch-sized at any index size; periodic
+    compaction of many-small-file partitions is ordinary lake
+    housekeeping, orthogonal to correctness.
+    """
+    sh = shingles_from(spark, new_docs)
+    banded = _banded_sigs(sh).withColumn("pb", _pb())
+    (
+        banded.repartition("band", "pb")
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .partitionBy("band", "pb")
+        .parquet(f"{index_dir}/bands")
+    )
+    meta_row = spark.read.parquet(f"{index_dir}/meta").first()
+    width, n_docs = int(meta_row["width"]), int(meta_row["n_docs"])
+    (
+        sh.withColumn("dp", F.expr(f"doc_id div {width}").cast("int"))
+        .repartition("dp")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .partitionBy("dp")
+        .parquet(f"{index_dir}/shingles")
+    )
+    n_new = new_docs.count()
+    spark.createDataFrame(
+        [(width, n_docs + n_new)], "width LONG, n_docs LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")

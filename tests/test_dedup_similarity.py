@@ -109,3 +109,67 @@ def test_dedup_clusters_groups_transitive_neardups(spark, doc_dir):
     assert rows[0].cluster_size == 3
     assert (rows[0].keep, rows[1].keep, rows[2].keep) == (1, 0, 0)
     assert rows[3].cluster_id == 3 and rows[3].cluster_size == 1 and rows[3].keep == 1
+
+
+class TestBucketCap:
+    """d_minhash_lsh_capped must skip oversized (band, bucket) groups —
+    the guard against the boilerplate quadratic blow-up measured in
+    SCALING.md § duplicate-heavy corpus."""
+
+    @pytest.fixture(scope="class")
+    def skewed_dir(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("capped_docs")
+        template = (
+            "standard boilerplate disclaimer all rights reserved terms"
+            " of service apply please read carefully before proceeding"
+        )
+        rows = [
+            Row(
+                doc_id=i,
+                text=template,
+                lang="en",
+                source="web",
+                n_chars=len(template),
+            )
+            # 60 exact template copies: one (band, bucket) per band
+            # holds all 60 docs -> over the MAX_BUCKET=50 cap
+            for i in range(60)
+        ] + [
+            Row(
+                doc_id=100 + i,
+                text=f"unique document number {i} with its own words "
+                f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}",
+                lang="en",
+                source="web",
+                n_chars=40,
+            )
+            for i in range(20)
+        ]
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            str(d / "documents.parquet")
+        )
+        return str(d)
+
+    def test_cap_drops_template_bucket_pairs(self, spark, skewed_dir):
+        from mathorcup_spark.functions.dedup import (
+            d_minhash_lsh,
+            d_minhash_lsh_capped,
+        )
+
+        uncapped = d_minhash_lsh(spark, skewed_dir).count()
+        capped = d_minhash_lsh_capped(spark, skewed_dir).count()
+        # 60 template docs alone contribute 60*59/2 = 1770 pairs
+        assert uncapped >= 1770
+        # the cap removes every within-template pair; unique docs
+        # share no shingles so almost nothing survives
+        assert capped <= uncapped - 1770
+
+    def test_bucket_stats_report_cap(self, spark, skewed_dir):
+        from mathorcup_spark.functions.dedup import d_lsh_bucket_stats
+
+        stats = {r["band"]: r for r in d_lsh_bucket_stats(spark, skewed_dir).collect()}
+        assert len(stats) == 4
+        for band, r in stats.items():
+            assert r["max_bucket"] >= 60
+            assert r["n_capped"] >= 1
+            assert r["docs_in_capped"] >= 60

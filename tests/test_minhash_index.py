@@ -85,3 +85,31 @@ def test_probe_partition_count_bounded(spark, tmp_path):
     if m:  # one doc probes at most N_BANDS of the 4 * MH_PARTS dirs
         assert int(m.group(1)) <= 4
     assert MH_PARTS == 64
+
+
+def test_append_then_probe_matches_rebuilt_index(spark, tmp_path):
+    """Ingest loop: index(A) + append(B) must answer a probe exactly
+    like an index built from A∪B directly."""
+    from mathorcup_spark.sources.minhash_index import append_to_minhash_index
+
+    docs = load(spark, SF_DIR, "documents")
+    mx = int(docs.agg(F.max("doc_id")).first()[0])
+    a = docs.filter(F.col("doc_id") < mx * 3 // 5)
+    b = docs.filter(
+        (F.col("doc_id") >= mx * 3 // 5) & (F.col("doc_id") < mx * 4 // 5)
+    )
+    c = docs.filter(F.col("doc_id") >= mx * 4 // 5)
+
+    incr = str(tmp_path / "incr")
+    write_minhash_index(spark, a, incr)
+    append_to_minhash_index(spark, incr, b)
+    full = str(tmp_path / "full")
+    write_minhash_index(spark, a.unionByName(b), full)
+
+    got = probe_minhash_index(spark, incr, c)
+    want = probe_minhash_index(spark, full, c)
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+    # meta doc count was maintained across the append
+    n_meta = spark.read.parquet(f"{incr}/meta").first()["n_docs"]
+    assert n_meta == a.count() + b.count()

@@ -141,6 +141,7 @@ def main() -> None:
     variants = [
         ("d_minhash_lsh (AQE off)", aqe_off, qs["d_minhash_lsh"]),
         ("d_minhash_lsh (AQE skew-join)", aqe_skew, qs["d_minhash_lsh"]),
+        ("d_minhash_lsh_capped (AQE off)", aqe_off, qs["d_minhash_lsh_capped"]),
         ("d_dedup_clusters (AQE off)", aqe_off, qs["d_dedup_clusters"]),
         ("d_dedup_clusters (AQE skew-join)", aqe_skew, qs["d_dedup_clusters"]),
         ("exact-first + LSH (AQE skew-join)", aqe_skew, exact_first),

@@ -92,6 +92,11 @@ EXPECT: dict[str, dict] = {
     "j_asof_join": {},
     "j_range_join": {},
     "d_minhash_lsh": {},
+    # the bucket-size guard: one extra groupBy on the SAME (band,
+    # bucket) key as the candidate join — no new join strategy
+    "d_minhash_lsh_capped": {},
+    "d_lsh_bucket_stats": {},
+    "d_lsh_hamming_e2e": {},
     # IVF probe crossJoins each query vector against the k≈16-row
     # centroid table — a broadcast nested loop over a constant-size
     # side is the intended, scale-safe plan (cost O(n·k), no shuffle).
