@@ -103,6 +103,11 @@ HEADLINE = [
     "g_pagerank_fixed",
     "corpus_pipeline_v2",
     "d_incremental_dedup",
+    "d_minhash_lsh_capped",
+    "d_lsh_hamming_e2e",
+    "t_contamination_screen",
+    "t_repetition_stats",
+    "t_pii_scan",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

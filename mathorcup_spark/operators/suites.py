@@ -627,6 +627,8 @@ _sim_oracle, _sim_fn = _suite(
          {"id1": "q_id", "id2": "c_id", "num1": "cosine", "n": "rnk"}),
         ("ivf_ann", "sim_ivf_ann",
          {"id1": "q_id", "id2": "c_id", "num1": "cosine", "n": "rnk"}),
+        ("lsh_index_ann", "sim_lsh_index_ann",
+         {"id1": "q_id", "id2": "c_id", "num1": "cosine", "n": "rnk"}),
     ],
 )
 
@@ -635,9 +637,12 @@ _sim_oracle, _sim_fn = _suite(
     "sim_ann_suite",
     oracle=_sim_oracle,
     doc="Similarity search composed: brute-force cosine top-k "
-    "baseline, deterministic multi-table hyperplane-LSH ANN, and "
-    "IVF centroid+probe ANN — full (query, candidate, cosine, rank) "
-    "outputs of all three hash-verified in one driver row.",
+    "baseline, deterministic multi-table hyperplane-LSH ANN, "
+    "IVF centroid+probe ANN, and the PERSISTED partition-pruned "
+    "LSH index probe (sources/ann_index.py, byte-identical to the "
+    "inline query by construction) — full (query, candidate, "
+    "cosine, rank) outputs of all four hash-verified in one driver "
+    "row.",
     tags=("similarity", "ann", "suite"),
 )
 def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,6 +107,13 @@ EXPECT: dict[str, dict] = {
     # the IVF member carries its k~16-row centroid probe (see above)
     "sim_ann_recall": {"bnlj_ok": True},
     "t_text_stats": {},
+    # eval-side n-gram set joined on the shingle string — a hash
+    # equi-join; the eval side is DISTINCT grams of a 1% slice
+    "t_contamination_screen": {},
+    # explode + two-level aggregate, no joins
+    "t_repetition_stats": {},
+    # pure regexp column work, no shuffle
+    "t_pii_scan": {},
     "st_session_window": {},
     "ev_cohort_retention": {},
     # the three single-row stage counts are combined with crossJoins
