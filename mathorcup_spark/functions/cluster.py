@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-from .dedup import _MINHASH_CTES, rescored_pairs
+from .dedup import _CAPPED_CTES, MAX_BUCKET, rescored_pairs
 
 # Exact-Jaccard threshold for a rescored LSH candidate pair to become
 # a cluster edge. The sf0.01 candidate distribution is bimodal
@@ -73,37 +73,31 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_rounds: int = 25, fixed_rounds: int | None = None
+) -> DataFrame:
     """(node, comp) for every node appearing in ``edges``; ``comp`` is
     the minimum node id of the component. Alternating large-star /
     small-star rounds until the edge set is a fixpoint (star forest).
+
+    ``fixed_rounds`` skips the per-round fixpoint probe (each probe
+    is one O(1)-rows-but-full-scan job) and runs exactly that many
+    rounds — for callers who KNOW their input converges fast
+    (LSH-bucket near-dup graphs are near-cliques: 2-3 rounds). The
+    result is correct only if the input truly converges within the
+    given rounds; when unsure, leave it None and pay the probes.
     """
     # eager=False: the signature action right after materializes the
     # checkpoint anyway — one job per round instead of two.
     e = _canon(edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")))
     e = e.localCheckpoint(eager=False)
+    if fixed_rounds is not None:
+        for _ in range(fixed_rounds):
+            e = _star_round(e).localCheckpoint(eager=False)
+        return _star_assign(e)
     sig = _signature(e)
     for _ in range(max_rounds):
-        # large-star: over the bidirectional adjacency, attach each
-        # node's LARGER neighbors to min(neighborhood ∪ {self}).
-        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
-        center = F.least(F.col("u"), F.col("mn"))
-        ls = _canon(
-            bidir.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), center.alias("v"))
-        )
-        # small-star: over edges directed big→small, attach each
-        # node's smaller neighbors AND itself to the min.
-        d = ls.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        mins2 = d.groupBy("u").agg(F.min("v").alias("mn"))
-        ss = _canon(
-            d.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-            .union(d.select("u", "v").join(mins2, "u").select("u", F.col("mn").alias("v")))
-        )
-        nxt = ss.localCheckpoint(eager=False)
+        nxt = _star_round(e).localCheckpoint(eager=False)
         nsig = _signature(nxt)
         # best-effort: clears CacheManager entries; the checkpoint's
         # RDD blocks are reclaimed lazily by the ContextCleaner when
@@ -113,15 +107,42 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         if nsig == sig:
             break
         sig = nsig
-    # Fixpoint edges are stars (comp_min, member): members inherit the
-    # center; centers map to themselves.
+    return _star_assign(e)
+
+
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star half-round pair over edge set ``e``."""
+    # large-star: over the bidirectional adjacency, attach each
+    # node's LARGER neighbors to min(neighborhood ∪ {self}).
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+    center = F.least(F.col("u"), F.col("mn"))
+    ls = _canon(
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), center.alias("v"))
+    )
+    # small-star: over edges directed big→small, attach each
+    # node's smaller neighbors AND itself to the min.
+    d = ls.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins2 = d.groupBy("u").agg(F.min("v").alias("mn"))
+    return _canon(
+        d.join(mins2, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .union(d.select("u", "v").join(mins2, "u").select("u", F.col("mn").alias("v")))
+    )
+
+
+def _star_assign(e: DataFrame) -> DataFrame:
+    """(node, comp) from a star-forest edge set: members inherit the
+    center; centers map to themselves."""
     members = e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
     centers = e.select(F.col("u").alias("node"), F.col("u").alias("comp")).distinct()
     return members.union(centers)
 
 
 _CLUSTER_ORACLE = f"""
-    WITH RECURSIVE {_MINHASH_CTES},
+    WITH RECURSIVE {_CAPPED_CTES},
     edges AS (
       SELECT cand.doc_a, cand.doc_b
       FROM cand
@@ -160,7 +181,10 @@ _CLUSTER_ORACLE = f"""
 @register(
     "d_dedup_clusters",
     oracle=_CLUSTER_ORACLE,
-    doc="Corpus dedup clustering end-to-end: MinHash-LSH candidates → "
+    doc="Corpus dedup clustering end-to-end: bucket-capped MinHash-LSH "
+    "candidates (MAX_BUCKET guard — boilerplate buckets are exact-"
+    "dedup's job, and uncapped they quadratically dominate CC input "
+    "on template-heavy corpora; cap mirrored in the oracle) → "
     "exact-Jaccard edges (>= 0.5) → alternating large-star/small-star "
     "connected components → one row per document with its cluster id "
     "(= component min doc_id), cluster size, and the survivor flag "
@@ -176,7 +200,12 @@ _CLUSTER_ORACLE = f"""
 )
 def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    edges = rescored_pairs(spark, sf_dir).where(
+    # capped candidates: clustering is a decision stage, so the
+    # boilerplate-bucket guard (MAX_BUCKET, see dedup.py) is the
+    # scale-correct default — the dedup-skew soak measured the
+    # uncapped CC at 16s vs seconds capped on a template-heavy
+    # corpus. The oracle applies the identical bucket-size filter.
+    edges = rescored_pairs(spark, sf_dir, max_bucket=MAX_BUCKET).where(
         F.col("jaccard") >= NEARDUP_JACCARD
     )
     comp = connected_components(edges)

@@ -265,7 +265,7 @@ def shingles_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return wdf.select("doc_id", _shingles(F.col("words"), 3).alias("shingles"))
 
 
-def _minhash_candidates(sh: DataFrame) -> DataFrame:
+def _minhash_candidates(sh: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) MinHash-LSH candidate pairs from a
     (doc_id, shingles) frame — the banded signature build + bucket
     self-join shared by d_minhash_lsh and d_lsh_rescore_e2e.
@@ -279,8 +279,19 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
     rebuilds the shingle array once per permutation. Partial
     aggregation collapses the exploded rows map-side; the shuffle
     carries (doc_id, 16 longs) per document.
+
+    ``max_bucket`` skips (band, bucket) groups above that size before
+    the self-join (the boilerplate quadratic guard — see MAX_BUCKET);
+    the count aggregation shuffles on the same key as the join.
     """
     banded = _banded_sigs(sh)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("n") <= max_bucket).drop("n"), ["band", "bucket"]
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     agree = F.size(
@@ -389,12 +400,17 @@ def d_lsh_rescore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rescored_pairs(spark, sf_dir)
 
 
-def rescored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rescored_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b, est_jaccard, jaccard): MinHash-LSH candidates
     rescored with exact shingle Jaccard — the shared front half of
-    d_lsh_rescore_e2e and d_dedup_clusters (functions/cluster.py)."""
+    d_lsh_rescore_e2e (uncapped: its contract is the raw LSH
+    candidate set) and d_dedup_clusters (capped: clustering feeds a
+    decision stage, so the boilerplate-bucket guard is the
+    scale-correct default there)."""
     sh = _shingle_df(spark, sf_dir)
-    cand = _minhash_candidates(sh)
+    cand = _minhash_candidates(sh, max_bucket=max_bucket)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -1030,33 +1046,7 @@ _CAPPED_CTES = f"""{_MINHASH_BANDED_CTES}, bsz AS (
     tags=("dedup", "minhash", "lsh", "skew"),
 )
 def d_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    banded = _banded_sigs(_shingle_df(spark, sf_dir))
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    capped = banded.join(
-        sizes.filter(F.col("n") <= MAX_BUCKET).drop("n"), ["band", "bucket"]
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (agree.cast("double") / N_HASHES).alias("est_jaccard"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return _minhash_candidates(_shingle_df(spark, sf_dir), max_bucket=MAX_BUCKET)
 
 
 @register(

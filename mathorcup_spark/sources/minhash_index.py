@@ -245,3 +245,43 @@ def append_to_minhash_index(
     spark.createDataFrame(
         [(width, n_docs + n_new)], "width LONG, n_docs LONG"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
+    """Rewrite each index layout so every partition directory holds
+    one sorted file again — the periodic housekeeping that keeps a
+    frequently-appended index probe-efficient (every append adds one
+    file per touched partition; row-group pruning still works per
+    file, but file-open overhead accumulates).
+
+    Implemented as read → repartition on the partition keys → sorted
+    rewrite into a temp sibling, then an atomic-ish directory swap.
+    Cost is one full pass over the index — schedule it like any lake
+    compaction job; probes against the compacted index are verified
+    byte-identical in tests/test_minhash_index.py.
+    """
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="mh_compact_", dir=index_dir)
+    bands = spark.read.parquet(f"{index_dir}/bands")
+    (
+        bands.repartition("band", "pb")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("band", "pb")
+        .parquet(f"{tmp}/bands")
+    )
+    shingles = spark.read.parquet(f"{index_dir}/shingles")
+    (
+        shingles.repartition("dp")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("dp")
+        .parquet(f"{tmp}/shingles")
+    )
+    for layout in ("bands", "shingles"):
+        old = f"{index_dir}/{layout}"
+        shutil.rmtree(old)
+        shutil.move(f"{tmp}/{layout}", old)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -113,3 +113,36 @@ def test_append_then_probe_matches_rebuilt_index(spark, tmp_path):
     # meta doc count was maintained across the append
     n_meta = spark.read.parquet(f"{incr}/meta").first()["n_docs"]
     assert n_meta == a.count() + b.count()
+
+
+def test_compaction_preserves_probe_results(spark, tmp_path):
+    """After appends fragment the partitions, compaction must not
+    change a single probe answer and must reduce file count."""
+    from mathorcup_spark.sources.minhash_index import (
+        append_to_minhash_index,
+        compact_minhash_index,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    mx = int(docs.agg(F.max("doc_id")).first()[0])
+    a = docs.filter(F.col("doc_id") < mx * 2 // 5)
+    b = docs.filter((F.col("doc_id") >= mx * 2 // 5) & (F.col("doc_id") < mx * 3 // 5))
+    b2 = docs.filter((F.col("doc_id") >= mx * 3 // 5) & (F.col("doc_id") < mx * 4 // 5))
+    c = docs.filter(F.col("doc_id") >= mx * 4 // 5)
+
+    idx = str(tmp_path / "idx")
+    write_minhash_index(spark, a, idx)
+    append_to_minhash_index(spark, idx, b)
+    append_to_minhash_index(spark, idx, b2)
+
+    def n_files(root):
+        import pathlib
+
+        return sum(1 for p in pathlib.Path(root).rglob("*.parquet") if p.is_file())
+
+    before_files = n_files(f"{idx}/bands")
+    before = _rows(probe_minhash_index(spark, idx, c))
+    compact_minhash_index(spark, idx)
+    after = _rows(probe_minhash_index(spark, idx, c))
+    assert after == before
+    assert n_files(f"{idx}/bands") <= before_files

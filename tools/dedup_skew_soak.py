@@ -142,8 +142,9 @@ def main() -> None:
         ("d_minhash_lsh (AQE off)", aqe_off, qs["d_minhash_lsh"]),
         ("d_minhash_lsh (AQE skew-join)", aqe_skew, qs["d_minhash_lsh"]),
         ("d_minhash_lsh_capped (AQE off)", aqe_off, qs["d_minhash_lsh_capped"]),
-        ("d_dedup_clusters (AQE off)", aqe_off, qs["d_dedup_clusters"]),
-        ("d_dedup_clusters (AQE skew-join)", aqe_skew, qs["d_dedup_clusters"]),
+        ("d_dedup_clusters (capped, AQE off)", aqe_off, qs["d_dedup_clusters"]),
+        ("d_dedup_clusters (capped, AQE skew-join)", aqe_skew,
+         qs["d_dedup_clusters"]),
         ("exact-first + LSH (AQE skew-join)", aqe_skew, exact_first),
     ]
     report = []
