@@ -108,6 +108,7 @@ HEADLINE = [
     "t_contamination_screen",
     "t_repetition_stats",
     "t_pii_scan",
+    "g_triangle_count",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

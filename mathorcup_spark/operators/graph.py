@@ -561,3 +561,68 @@ def pagerank(
         if checkpoint_rounds:
             pr = pr.localCheckpoint(eager=False)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+@register(
+    "g_triangle_count",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+    ), tri AS (
+      SELECT 1 FROM edges e1
+      JOIN edges e2 ON e2.p1 = e1.p2
+      JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT (SELECT count(*) FROM (SELECT DISTINCT p1 AS p FROM edges
+                                  UNION SELECT DISTINCT p2 FROM edges) _n)
+             AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM tri) AS n_triangles
+    """,
+    doc="Distributed triangle counting over the co-purchase graph "
+    "(parts appearing in the same order are adjacent): edges are "
+    "ordered pairs (p1 < p2) built by one self-join of the distinct "
+    "(order, part) list on the order key — bounded fan-out per order "
+    "(items-per-order is a small constant), never an all-parts "
+    "crossJoin — and triangles are the canonical two-hash-join count "
+    "(e1: a<b, e2: b<c, closing edge a<c), each join an equi-join on "
+    "node ids that shuffles on the join key. The p1<p2<p3 ordering "
+    "counts every triangle exactly once with no post-dedup. Output: "
+    "one row (n_nodes, n_edges, n_triangles) — the standard graph-"
+    "analytics summary the reference's co-occurrence graph build "
+    "(src/utils.py:163-202) would feed.",
+    tags=("graph", "triangle", "G1"),
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(b, (F.col("b.o") == F.col("a.o")) & (F.col("b.p") > F.col("a.p")))
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+        # referenced 3x by the triangle join and twice by the counts:
+        # materialize once, truncate lineage
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = e1.join(e2, F.col("e2.p1") == F.col("e1.p2")).join(
+        e3,
+        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    )
+    nodes = (
+        edges.select(F.col("p1").alias("p"))
+        .union(edges.select(F.col("p2").alias("p")))
+        .distinct()
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

@@ -873,6 +873,8 @@ _gr_oracle, _gr_fn = _suite(
          {"id1": "q_id", "id2": "c_id", "id3": "rnk", "num1": "score"}),
         ("pagerank", "g_pagerank_fixed",
          {"id1": "node", "num1": "pagerank"}),
+        ("triangles", "g_triangle_count",
+         {"id1": "n_nodes", "id2": "n_edges", "id3": "n_triangles"}),
     ],
 )
 
@@ -880,11 +882,12 @@ _gr_oracle, _gr_fn = _suite(
 @register(
     "g_graph_suite",
     oracle=_gr_oracle,
-    doc="G1/G5/G6 + PageRank composed: melt+self-join triple build, "
-    "dot/diff TransE-style scoring over embeddings, "
-    "anti-join-filtered candidate ranking, and fixed-iteration "
-    "PageRank (decimal-exact cross-engine) — full member outputs "
-    "hash-verified in one driver row "
+    doc="G1/G5/G6 + PageRank + triangle counting composed: "
+    "melt+self-join triple build, dot/diff TransE-style scoring over "
+    "embeddings, anti-join-filtered candidate ranking, "
+    "fixed-iteration PageRank (decimal-exact cross-engine), and the "
+    "two-join triangle count over the co-purchase graph — full "
+    "member outputs hash-verified in one driver row "
     "(reference src/graph.py:17-53, src/evaluate.py:105-176).",
     tags=("G1", "G5", "G6", "suite"),
 )

@@ -89,6 +89,10 @@ EXPECT: dict[str, dict] = {
     # rank (mathorcup_spark/ids.py) — no single-partition exchange at
     # any vocabulary cardinality, asserted like every other query.
     "g_triple_build": {},
+    # the three scalar counts assemble via 1-row crossJoins — the
+    # scalar-subquery plan; the triangle join itself is two hash
+    # equi-joins over the checkpointed edge list
+    "g_triangle_count": {"bnlj_ok": True},
     "j_asof_join": {},
     "j_range_join": {},
     "d_minhash_lsh": {},
