@@ -109,6 +109,7 @@ HEADLINE = [
     "t_repetition_stats",
     "t_pii_scan",
     "g_triangle_count",
+    "corpus_pipeline_v3",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

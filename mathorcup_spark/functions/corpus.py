@@ -245,3 +245,162 @@ def _register_corpus_v2() -> None:
 
 
 _register_corpus_v2()
+
+
+def _v3_oracle() -> str:
+    from ..operators.sampling import MIXTURE_BUDGET, _hash_u_sql
+    from ..registry import REGISTRY
+    from .text import CONTAM_TAU, SEQ_LEN
+
+    contam = REGISTRY["t_contamination_screen"].oracle
+    rep = REGISTRY["t_repetition_stats"].oracle
+    pii = REGISTRY["t_pii_scan"].oracle
+    return f"""
+    WITH prep AS ({_PREP_SQL}),
+    contam AS (SELECT doc_id, contamination_ratio FROM ({contam}) _c),
+    rep AS (SELECT doc_id, repetitive FROM ({rep}) _r),
+    pii AS (SELECT doc_id, has_pii_signal FROM ({pii}) _p),
+    clean AS (
+      SELECT p.doc_id, p.source, p.detected_lang,
+             CAST(p.bpe_tokens AS BIGINT) AS bpe_tokens, p.quality
+      FROM prep p
+      JOIN contam c USING (doc_id)
+      JOIN rep r USING (doc_id)
+      JOIN pii USING (doc_id)
+      WHERE p.doc_id % 100 <> 0
+        AND c.contamination_ratio <= {CONTAM_TAU}
+        AND r.repetitive = 0
+        AND pii.has_pii_signal = 0
+    ),
+    counts AS (
+      SELECT source, count(*) AS n_s FROM clean GROUP BY source
+    ), k AS (
+      SELECT count(*) AS n_sources FROM counts
+    ), rates AS (
+      SELECT source,
+             round(least(1.0, ({MIXTURE_BUDGET}.0 / k.n_sources) / n_s), 6)
+               AS rate
+      FROM counts, k
+    ), kept AS (
+      SELECT cl.*, r.rate FROM clean cl JOIN rates r USING (source)
+      WHERE {_hash_u_sql('cl.doc_id')} < r.rate
+    ), packed AS (
+      SELECT *, CAST(coalesce(sum(bpe_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM kept
+    )
+    SELECT doc_id, source, detected_lang, bpe_tokens, quality, rate,
+           cum_before,
+           cum_before // {SEQ_LEN} AS seq_id,
+           cum_before % {SEQ_LEN} AS seq_offset,
+           CASE WHEN cum_before % {SEQ_LEN} + bpe_tokens > {SEQ_LEN}
+                THEN 1 ELSE 0 END AS spans_boundary
+    FROM packed
+    """
+
+
+def _register_corpus_v3() -> None:
+    @register(
+        "corpus_pipeline_v3",
+        oracle=_v3_oracle(),
+        doc="The COMPLETE modern training-data pipeline, composed end "
+        "to end and hash-verified as one plan: quality filter + "
+        "language ID + exact-dedup survivors (corpus_prep_e2e) → the "
+        "round-4 hygiene screens — benchmark decontamination (eval "
+        "slice excluded from training, docs over 10% eval-n-gram "
+        "overlap dropped), Gopher-style repetition filter, PII drop — "
+        "→ deterministic domain-mixture rebalancing over the CLEAN "
+        "set → fixed-length sequence packing via the distributed "
+        "prefix-sum. Each screen joins its per-doc verdict back on "
+        "doc_id (hash equi-joins; the screens themselves are narrow "
+        "or single-shuffle, see their own docs), so the composition "
+        "adds no new shuffle shape beyond its members. The documents "
+        "scan appears once per screen — scan-bound columnar reads a "
+        "100 TB run would amortize by materializing the per-doc "
+        "verdict table (the layouts in sources/ support exactly "
+        "that); the declared plan is the contract either way. Every "
+        "member keeps its own oracle as unit evidence; this query "
+        "verifies the composition.",
+        tags=("text", "dedup", "sampling", "pack", "pipeline",
+              "contamination", "pii", "e2e"),
+    )
+    def corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..ids import prefix_sum
+        from ..operators.sampling import MIXTURE_BUDGET, _hash_u
+        from .text import (
+            CONTAM_TAU,
+            SEQ_LEN,
+            t_contamination_screen,
+            t_pii_scan,
+            t_repetition_stats,
+        )
+
+        prep = corpus_prep_e2e(spark, sf_dir)
+        contam = t_contamination_screen(spark, sf_dir).select(
+            "doc_id", "contamination_ratio"
+        )
+        rep = t_repetition_stats(spark, sf_dir).select("doc_id", "repetitive")
+        pii = t_pii_scan(spark, sf_dir).select("doc_id", "has_pii_signal")
+        clean = (
+            prep.filter(F.col("doc_id") % 100 != 0)
+            .join(contam, "doc_id")
+            .join(rep, "doc_id")
+            .join(pii, "doc_id")
+            .filter(
+                (F.col("contamination_ratio") <= CONTAM_TAU)
+                & (F.col("repetitive") == 0)
+                & (F.col("has_pii_signal") == 0)
+            )
+            .select(
+                "doc_id",
+                "source",
+                "detected_lang",
+                F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+                "quality",
+            )
+        )
+        counts = clean.groupBy("source").agg(F.count("*").alias("n_s"))
+        k = counts.agg(F.count("*").alias("n_sources"))
+        rates = counts.crossJoin(F.broadcast(k)).select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(float(MIXTURE_BUDGET)) / F.col("n_sources"))
+                    / F.col("n_s"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+        kept = clean.join(F.broadcast(rates), "source").filter(
+            _hash_u(F.col("doc_id")) < F.col("rate")
+        )
+        packed = prefix_sum(
+            kept.select(
+                "doc_id", "source", "detected_lang", "bpe_tokens",
+                "quality", "rate",
+            ),
+            ["doc_id"],
+            "bpe_tokens",
+            "cum_before",
+        )
+        off = F.col("cum_before") % SEQ_LEN
+        return packed.select(
+            "doc_id",
+            "source",
+            "detected_lang",
+            "bpe_tokens",
+            "quality",
+            "rate",
+            F.col("cum_before").cast("long").alias("cum_before"),
+            F.expr(f"cum_before div {SEQ_LEN}").alias("seq_id"),
+            off.cast("long").alias("seq_offset"),
+            F.when(off + F.col("bpe_tokens") > SEQ_LEN, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("spans_boundary"),
+        )
+
+
+_register_corpus_v3()

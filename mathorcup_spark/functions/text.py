@@ -539,7 +539,7 @@ def t_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REP_TOP_TAU = 0.2  # Gopher-style: top bigram over 20% of all bigrams
-REP_DISTINCT_TAU = 0.5  # or fewer than half the words distinct
+REP_DISTINCT_TAU = 0.25  # or under a quarter of words distinct
 
 
 @register(

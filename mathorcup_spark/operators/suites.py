@@ -724,6 +724,11 @@ _text_oracle, _text_fn = _suite(
           "num1": "quality", "num2": "rate", "num3": "seq_id",
           "num4": "seq_offset", "str1": "source",
           "str2": "detected_lang", "str3": "spans_boundary"}),
+        ("corpus_v3", "corpus_pipeline_v3",
+         {"id1": "doc_id", "n1": "bpe_tokens", "n2": "cum_before",
+          "num1": "quality", "num2": "rate", "num3": "seq_id",
+          "num4": "seq_offset", "str1": "source",
+          "str2": "detected_lang", "str3": "spans_boundary"}),
         ("contamination", "t_contamination_screen",
          {"id1": "doc_id", "n1": "n_shingles", "n2": "n_contaminated",
           "num1": "contamination_ratio", "num2": "flagged"}),
@@ -746,11 +751,12 @@ _text_oracle, _text_fn = _suite(
     "whitespace + BPE-ish token counting, rolling-hash document "
     "fingerprinting, per-source TF-IDF top terms, fixed-length "
     "sequence packing (distributed prefix-sum), boilerplate n-gram "
-    "detection, the complete corpus_pipeline_v2 composition "
-    "(filter → dedup → mixture → pack), benchmark decontamination "
-    "screening (eval n-gram hash join), Gopher-style repetition "
-    "stats, and the PII/identifier scan — full member outputs "
-    "hash-verified in one row.",
+    "detection, the corpus_pipeline_v2 composition (filter → dedup → "
+    "mixture → pack) and its v3 extension with the full hygiene "
+    "screen set (decontamination + repetition + PII drops before "
+    "mixture), benchmark decontamination screening (eval n-gram hash "
+    "join), Gopher-style repetition stats, and the PII/identifier "
+    "scan — full member outputs hash-verified in one row.",
     tags=("text", "suite"),
 )
 def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,6 +161,9 @@ EXPECT: dict[str, dict] = {
     # filter→dedup→mixture→pack composition: the source-count scalar
     # is the 1-row broadcast; packing adds one range exchange
     "corpus_pipeline_v2": {"bnlj_ok": True},
+    # v3 adds the hygiene screens (doc_id equi-joins of per-doc
+    # verdicts); same scalar-broadcast + range-exchange skeleton
+    "corpus_pipeline_v3": {"bnlj_ok": True},
     # the batch-split threshold is a 1-row broadcast scalar; the
     # new-vs-index probe is the (band,bucket) hash equi-join
     "d_incremental_dedup": {"bnlj_ok": True},
