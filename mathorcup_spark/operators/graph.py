@@ -587,13 +587,23 @@ def pagerank(
     "ordered pairs (p1 < p2) built by one self-join of the distinct "
     "(order, part) list on the order key — bounded fan-out per order "
     "(items-per-order is a small constant), never an all-parts "
-    "crossJoin — and triangles are the canonical two-hash-join count "
-    "(e1: a<b, e2: b<c, closing edge a<c), each join an equi-join on "
-    "node ids that shuffles on the join key. The p1<p2<p3 ordering "
-    "counts every triangle exactly once with no post-dedup. Output: "
-    "one row (n_nodes, n_edges, n_triangles) — the standard graph-"
-    "analytics summary the reference's co-occurrence graph build "
-    "(src/utils.py:163-202) would feed.",
+    "crossJoin. Triangles are counted with the DEGREE-ORDERED "
+    "orientation (compact-forward): every edge points from its "
+    "lower-(degree, id) endpoint to the higher one, wedges are "
+    "enumerated only at each node's out-neighbors, and the closing "
+    "edge is probed in the same orientation — so a hub of degree d "
+    "contributes O(out-deg²) wedges instead of O(d²), the standard "
+    "guard against hub blow-up on skewed graphs. On THIS near-"
+    "uniform synthetic graph it measures even with the naive "
+    "id-ordering (no hubs to guard against; the two degree joins "
+    "offset the wedge savings) — the orientation is kept because a "
+    "real co-purchase graph is scale-free and the naive form is "
+    "quadratic in the hub degree there. The count "
+    "is orientation-invariant, so the oracle keeps the simple "
+    "p1<p2<p3 id-ordered construction — same n_triangles, "
+    "independently derived. Output: one row (n_nodes, n_edges, "
+    "n_triangles) — the graph-analytics summary the reference's "
+    "co-occurrence graph build (src/utils.py:163-202) would feed.",
     tags=("graph", "triangle", "G1"),
 )
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,24 +615,53 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("b.o") == F.col("a.o")) & (F.col("b.p") > F.col("a.p")))
         .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .distinct()
-        # referenced 3x by the triangle join and twice by the counts:
+        # referenced by degree build, orientation, and counts:
         # materialize once, truncate lineage
         .localCheckpoint(eager=False)
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tri = e1.join(e2, F.col("e2.p1") == F.col("e1.p2")).join(
-        e3,
-        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
-    )
-    nodes = (
+    # undirected degree per node, then orient each edge from the
+    # lower-(deg, id) endpoint to the higher — carrying both endpoint
+    # degrees so wedge closure can re-derive the same orientation
+    deg = (
         edges.select(F.col("p1").alias("p"))
         .union(edges.select(F.col("p2").alias("p")))
-        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("p", "p1").withColumnRenamed("d", "d1"), "p1")
+        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("d", "d2"), "p2")
+    )
+    fwd1 = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = ed.select(
+        F.when(fwd1, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(fwd1, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        F.when(fwd1, F.col("d2")).otherwise(F.col("d1")).alias("dst_deg"),
+    ).localCheckpoint(eager=False)
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges at the apex over its OUT-neighbors only (o1.dst < o2.dst
+    # dedupes the unordered pair); orient the closing {b, c} edge by
+    # the same (deg, id) rule before probing the oriented edge set
+    close_fwd = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
+        (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(
+        o2,
+        (F.col("o2.src") == F.col("o1.src")) & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.when(close_fwd, F.col("o1.dst")).otherwise(F.col("o2.dst")).alias("u"),
+        F.when(close_fwd, F.col("o2.dst")).otherwise(F.col("o1.dst")).alias("v"),
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
     )
     return (
-        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
