@@ -94,6 +94,16 @@ def connected_components(
     if fixed_rounds is not None:
         for _ in range(fixed_rounds):
             e = _star_round(e).localCheckpoint(eager=False)
+        # One cheap probe turns a silent wrong answer into a loud
+        # failure: if the edge set is not yet a star forest, one more
+        # round would still change it and the assignment below would
+        # split components (round-4 ADVICE).
+        if _signature(_star_round(e)) != _signature(e):
+            raise ValueError(
+                f"connected_components: edge set not converged after "
+                f"fixed_rounds={fixed_rounds}; pass fixed_rounds=None "
+                f"(probed fixpoint) or raise the round count"
+            )
         return _star_assign(e)
     sig = _signature(e)
     for _ in range(max_rounds):

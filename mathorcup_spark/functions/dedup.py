@@ -23,16 +23,26 @@ def _norm_text():
 
 
 def _shingles(words, n: int = 3):
-    """Distinct word n-gram shingles of an array column (HOF, no UDF)."""
+    """Distinct word n-gram shingles of an array column (HOF, no UDF).
+
+    Documents with fewer than ``n`` words yield an EMPTY set — matching
+    the DuckDB oracle CTEs, where the ``||`` chain over an out-of-bounds
+    index is NULL and ``list_distinct`` drops it. Without the guard,
+    ``concat_ws`` would skip the NULL members and emit a truncated
+    shingle only on the Spark side (round-4 ADVICE, latent divergence).
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     # F.get (NULL on out-of-bounds) not element_at (throws under ANSI)
-    return F.array_distinct(
+    full = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ", *[F.get(words, (i + j).cast("int")) for j in range(n)]
             ),
         )
+    )
+    return F.when(F.size(words) >= n, full).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -105,25 +115,36 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-gram shingles via 1-based element_at, mirroring the oracle's
     # range(1, len-1) — both sides produce exactly len-2 shingles
     idx = F.sequence(F.lit(1), F.greatest(F.size(wcol) - 2, F.lit(1)))
-    # Mirrors the oracle's 1-based range; F.get is 0-based and NULL-safe
-    shingles = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.get(wcol, (i - 1).cast("int")),
-                F.get(wcol, i.cast("int")),
-                F.get(wcol, (i + 1).cast("int")),
-            ),
-        )
-    )
+    # Mirrors the oracle's 1-based range; F.get is 0-based and NULL-safe.
+    # Docs under 3 words get an EMPTY set — in the oracle the || chain
+    # over an out-of-bounds index is NULL and list_distinct drops it;
+    # without the guard concat_ws would emit a truncated shingle only
+    # on the Spark side (round-4 ADVICE, latent divergence).
+    shingles = F.when(
+        F.size(wcol) >= 3,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.get(wcol, (i - 1).cast("int")),
+                    F.get(wcol, i.cast("int")),
+                    F.get(wcol, (i + 1).cast("int")),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sh = wdf.select("doc_id", "source", shingles.alias("shingles"))
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    # when-guard: both-empty pairs are NULL jaccard on both engines
+    # (DuckDB double 0/0 is NULL; Spark's is IEEE NaN without it)
     return _id_window_join(sh).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        F.round(
+            F.when(union > 0, inter.cast("double") / union), 6
+        ).alias("jaccard"),
     )
 
 
@@ -321,18 +342,25 @@ def _banded_sigs(sh: DataFrame) -> DataFrame:
     (doc_id, shingles) frame — the index layout both the corpus-wide
     self-join and the incremental new-vs-index join probe."""
     # explode_outer, NOT explode: a plain explode lets Catalyst's
-    # InferFiltersFromGenerate add a (vacuously true — _shingles always
-    # yields >= 1 element) size(shingles) > 0 filter that predicate
-    # pushdown re-inlines below the repartition exchange, recomputing
-    # the whole tokenize+shingle pipeline per row inside a scan-side
-    # filter (measured 14x slower at sf0.1). outer generate infers no
-    # filter, and no shingle set is empty, so the rows are identical.
-    exploded = sh.select("doc_id", F.explode_outer("shingles").alias("shingle")).select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-            % _MH_P
-        ).alias("x"),
+    # InferFiltersFromGenerate add a size(shingles) > 0 filter that
+    # predicate pushdown re-inlines below the repartition exchange,
+    # recomputing the whole tokenize+shingle pipeline per row inside a
+    # scan-side filter (measured 14x slower at sf0.1). The isNotNull
+    # filter ABOVE the generate (references the generator output, so
+    # it cannot be pushed below it) drops the placeholder row an
+    # empty shingle set emits — sub-width docs must get NO signature,
+    # matching the oracle's unnest; without it they'd all share an
+    # all-NULL signature and pair with each other.
+    exploded = (
+        sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+                % _MH_P
+            ).alias("x"),
+        )
     )
     mins = exploded.groupBy("doc_id").agg(
         *[
@@ -913,7 +941,10 @@ def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splitting corpus/batch BEFORE the index write requires it on the
     # driver (one 1-row action — the index write is a driver-side
     # action anyway).
-    t = int(docs.agg(F.expr("(max(doc_id) * 4) div 5")).first()[0])
+    t_row = docs.agg(F.expr("(max(doc_id) * 4) div 5")).first()[0]
+    if t_row is None:
+        raise ValueError("d_incremental_index_dedup: empty documents table")
+    t = int(t_row)
     out = tempfile.mkdtemp(prefix="mathorcup_mh_index_")
     try:
         write_minhash_index(spark, docs.filter(F.col("doc_id") < t), out)

@@ -72,7 +72,11 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _ws_words()
     n_words = F.size(words)
     n_chars = F.length("text")
-    punct = F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double") / n_chars
+    # try_divide: empty text has n_chars=0 — ANSI Spark would throw
+    # where DuckDB's double /0 yields NULL; try_divide matches DuckDB
+    punct = F.try_divide(
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double"), n_chars
+    )
     stop_ratio = _stop_hits(words, "en").cast("double") / n_words
     avg_wlen = (
         F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast("double")
@@ -172,7 +176,9 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+        # try_divide: zero BPE tokens (empty text) is NULL on both
+        # engines instead of an ANSI divide-by-zero error on Spark
+        F.try_divide(F.length("text").cast("double"), bpe).alias("chars_per_token"),
     )
 
 
@@ -432,6 +438,9 @@ def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
     return (
         sh.select(F.explode_outer("shingles").alias("shingle"))
+        # drop the placeholder row an empty (sub-3-word doc) shingle
+        # set emits — the oracle's unnest emits nothing for those
+        .where(F.col("shingle").isNotNull())
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= BOILERPLATE_MIN_DF)
@@ -451,18 +460,25 @@ CONTAM_TAU = 0.1  # flagged when >10% of a doc's n-grams hit the eval set
     oracle=f"""
     WITH sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(words) - {CONTAM_N - 1}, 1) + 1),
-               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                    || ' ' || words[i+3] || ' ' || words[i+4]
-             )) AS shingles
+             CASE WHEN len(words) >= {CONTAM_N}
+                  THEN list_distinct(list_transform(
+                    range(1, greatest(len(words) - {CONTAM_N - 1}, 1) + 1),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                         || ' ' || words[i+3] || ' ' || words[i+4]
+                  ))
+                  ELSE CAST([] AS VARCHAR[]) END AS shingles
       FROM (SELECT doc_id,
                    string_split_regex(lower(trim(text)), '\\s+') AS words
             FROM documents)
     ), ev AS (
       SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 100 = 0
     ), corp AS (
-      SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+      -- [NULL] for empty sets mirrors Spark's explode_outer: the doc
+      -- survives the unnest with one never-matching shingle row
+      SELECT doc_id, len(shingles) AS n_shingles,
+             unnest(CASE WHEN len(shingles) = 0
+                         THEN [CAST(NULL AS VARCHAR)]
+                         ELSE shingles END) AS s
       FROM sh WHERE doc_id % 100 <> 0
     ), hits AS (
       SELECT corp.doc_id,
@@ -498,17 +514,22 @@ def t_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         wdf = wdf.repartition("doc_id")
     wcol = F.col("words")
     idx = F.sequence(F.lit(1), F.greatest(F.size(wcol) - (CONTAM_N - 1), F.lit(1)))
-    # mirrors the oracle's 1-based range; F.get is 0-based; NULL
-    # members at the tail short-concat identically on both engines
-    # only when no member is NULL — the range cap keeps i+4 in bounds
-    gram = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.get(wcol, (i + j - 1).cast("int")) for j in range(CONTAM_N)]
-            ),
-        )
-    )
+    # mirrors the oracle's 1-based range; F.get is 0-based. Docs shorter
+    # than CONTAM_N words get an EMPTY shingle set on BOTH engines (the
+    # when-guard here, the CASE in the oracle's sh CTE) — they survive
+    # the screen with n_shingles=0, NULL ratio, flagged=0.
+    gram = F.when(
+        F.size(wcol) >= CONTAM_N,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.get(wcol, (i + j - 1).cast("int")) for j in range(CONTAM_N)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sh = wdf.select("doc_id", gram.alias("shingles"))
     ev = (
         sh.filter(F.col("doc_id") % 100 == 0)
@@ -520,7 +541,13 @@ def t_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("shingles").alias("n_shingles"),
         F.explode_outer("shingles").alias("s"),
     )
-    ratio = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    # NULL (not NaN) ratio on zero shingles: DuckDB double 0/0 is NULL,
+    # Spark is IEEE NaN — the when-guard aligns them; flagged then falls
+    # through to 0 on both engines (NULL/NaN > tau is not-true in both).
+    ratio = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+    )
     return (
         corp.join(ev, "s", "left")
         .groupBy("doc_id")

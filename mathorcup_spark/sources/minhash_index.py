@@ -84,6 +84,11 @@ def write_minhash_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> N
     )
     # width: ceil((max_id + 1) / DOC_PARTS), one scalar agg over ids
     row = docs.agg(F.max("doc_id").alias("mx"), F.count(F.lit(1)).alias("n")).first()
+    if row["mx"] is None:
+        raise ValueError(
+            "write_minhash_index: empty corpus (no doc_id rows) — an index "
+            "needs at least one document to fix the shingle-store width"
+        )
     width = max(1, (int(row["mx"]) + DOC_PARTS) // DOC_PARTS)
     (
         sh.withColumn("dp", F.expr(f"doc_id div {width}").cast("int"))
@@ -159,8 +164,15 @@ def probe_minhash_index(
     IN-list, and the candidates' dp set (≤ one per candidate pair).
     The index is never scanned unpruned.
     """
-    sh_new = shingles_from(spark, new_docs)
-    banded_new = _banded_sigs(sh_new).withColumn("pb", _pb())
+    # Lazy localCheckpoints: the tokenize+md5+16-minhash pipeline is
+    # the expensive part of a probe, and without the barrier it would
+    # run three times — for the driver-side probes collect, for the
+    # candidate join, and for the rescore join. Checkpointed, each
+    # batch-side stage is computed exactly once (batch-sized state).
+    sh_new = shingles_from(spark, new_docs).localCheckpoint(eager=False)
+    banded_new = (
+        _banded_sigs(sh_new).withColumn("pb", _pb()).localCheckpoint(eager=False)
+    )
     # Point-fetch the candidate index docs' shingle sets: candidates
     # are batch-bounded, so materializing their dp set on the driver
     # (localCheckpoint keeps the join from recomputing the probe) and
@@ -280,8 +292,15 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         .partitionBy("dp")
         .parquet(f"{tmp}/shingles")
     )
+    # Swap via rename-aside so an interruption between any two steps
+    # never destroys the only copy of a layout: old -> old.bak,
+    # new -> old, then drop old.bak. If a crash leaves a *.bak behind,
+    # the live path is either the old or the fully-written new layout
+    # — both are probe-consistent; the leftover is cleanup, not loss.
     for layout in ("bands", "shingles"):
         old = f"{index_dir}/{layout}"
-        shutil.rmtree(old)
+        bak = f"{old}.bak"
+        shutil.move(old, bak)
         shutil.move(f"{tmp}/{layout}", old)
+        shutil.rmtree(bak)
     shutil.rmtree(tmp, ignore_errors=True)

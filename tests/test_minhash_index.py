@@ -146,3 +146,30 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
     after = _rows(probe_minhash_index(spark, idx, c))
     assert after == before
     assert n_files(f"{idx}/bands") <= before_files
+
+
+def test_empty_corpus_raises(spark, tmp_path):
+    """Library-entry-point contract (round-4 ADVICE): an empty corpus
+    is a loud ValueError, not a TypeError deep in the width math."""
+    import pytest
+
+    empty = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        write_minhash_index(spark, empty, str(tmp_path / "idx_empty"))
+
+
+def test_compaction_leaves_no_bak_dirs(spark, tmp_path):
+    """The rename-aside swap cleans up its *.bak safety copies on
+    success (they exist only to survive a mid-swap crash)."""
+    import pathlib
+
+    from mathorcup_spark.sources.minhash_index import compact_minhash_index
+
+    corpus, _ = _split(spark)
+    idx = str(tmp_path / "idx_bak")
+    write_minhash_index(spark, corpus, idx)
+    compact_minhash_index(spark, idx)
+    leftovers = [p for p in pathlib.Path(idx).iterdir() if p.name.endswith(".bak")]
+    assert leftovers == []
+    assert (pathlib.Path(idx) / "bands").is_dir()
+    assert (pathlib.Path(idx) / "shingles").is_dir()
