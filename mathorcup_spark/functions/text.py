@@ -507,7 +507,12 @@ CONTAM_TAU = 0.1  # flagged when >10% of a doc's n-grams hit the eval set
     tags=("text", "contamination", "dedup"),
 )
 def t_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return contamination_from(spark, load(spark, sf_dir, "documents"))
+
+
+def contamination_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """t_contamination_screen over any (doc_id, text, ...) frame —
+    shared with the one-scan verdict build (sources/verdicts.py)."""
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     wdf = docs.select("doc_id", words.alias("words"))
     if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
@@ -606,7 +611,12 @@ REP_DISTINCT_TAU = 0.25  # or under a quarter of words distinct
     tags=("text", "quality", "repetition"),
 )
 def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return repetition_from(load(spark, sf_dir, "documents"))
+
+
+def repetition_from(docs: DataFrame) -> DataFrame:
+    """t_repetition_stats over any (doc_id, text, ...) frame —
+    shared with the one-scan verdict build (sources/verdicts.py)."""
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     wdf = docs.select("doc_id", words.alias("words"))
     wcol = F.col("words")
@@ -673,7 +683,12 @@ _LONG_DIGIT_RE = "[0-9]{6,}"
     tags=("text", "pii", "quality"),
 )
 def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return pii_from(load(spark, sf_dir, "documents"))
+
+
+def pii_from(docs: DataFrame) -> DataFrame:
+    """t_pii_scan over any (doc_id, text, ...) frame — shared with
+    the one-scan verdict build (sources/verdicts.py)."""
 
     def n(pat):
         return F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long")

@@ -607,6 +607,20 @@ def pagerank(
     tags=("graph", "triangle", "G1"),
 )
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, deg, oriented = _copurchase_oriented(spark, sf_dir)
+    tri = _closed_wedges(oriented).select("u", "v")
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+def _copurchase_oriented(spark: SparkSession, sf_dir: str):
+    """(edges, deg, oriented) for the co-purchase part graph — the
+    shared construction behind g_triangle_count and
+    g_clustering_coefficient (see g_triangle_count's doc for the
+    degree-ordered-orientation rationale)."""
     li = load(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     a = op.alias("a")
@@ -640,6 +654,14 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd1, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         F.when(fwd1, F.col("d2")).otherwise(F.col("d1")).alias("dst_deg"),
     ).localCheckpoint(eager=False)
+    return edges, deg, oriented
+
+
+def _closed_wedges(oriented: DataFrame) -> DataFrame:
+    """(apex, u, v) closed triangles from the degree-oriented edge
+    set: wedges enumerated at each apex over its OUT-neighbors only,
+    closing edge probed in the same (deg, id) orientation — one row
+    per triangle."""
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     # wedges at the apex over its OUT-neighbors only (o1.dst < o2.dst
@@ -653,15 +675,77 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         o2,
         (F.col("o2.src") == F.col("o1.src")) & (F.col("o1.dst") < F.col("o2.dst")),
     ).select(
+        F.col("o1.src").alias("apex"),
         F.when(close_fwd, F.col("o1.dst")).otherwise(F.col("o2.dst")).alias("u"),
         F.when(close_fwd, F.col("o2.dst")).otherwise(F.col("o1.dst")).alias("v"),
     )
-    tri = wedges.join(
+    return wedges.join(
         oriented.select(F.col("src").alias("u"), F.col("dst").alias("v")),
         ["u", "v"],
     )
-    return (
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+@register(
+    "g_clustering_coefficient",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+    ), tri AS (
+      SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c FROM edges e1
+      JOIN edges e2 ON e2.p1 = e1.p2
+      JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ), tcount AS (
+      SELECT node, count(*) AS n_tri
+      FROM (SELECT unnest([a, b, c]) AS node FROM tri) _t
+      GROUP BY node
+    ), deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT p1 AS node FROM edges
+            UNION ALL SELECT p2 FROM edges) _d
+      GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           -- CAST(2 AS DOUBLE): a bare 2.0 literal is DECIMAL in
+           -- DuckDB and would divide in decimal, not IEEE like Spark
+           round(CASE WHEN d.degree >= 2
+                      THEN CAST(2 AS DOUBLE) * coalesce(t.n_tri, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    """,
+    doc="Per-node local clustering coefficient over the co-purchase "
+    "graph: 2*tri(v) / (deg(v) * (deg(v) - 1)) — the graph-analytics "
+    "measure users join back to entities (which parts sit in tightly "
+    "interlinked purchase neighborhoods). Reuses g_triangle_count's "
+    "degree-ordered oriented wedge enumeration (the hub blow-up "
+    "guard), keeping the wedge APEX so each closed triangle emits "
+    "its three member nodes via one explode, then a per-node count "
+    "and a broadcast-sized join against the degree table. Oracle "
+    "derives per-node counts from the independent id-ordered "
+    "p1<p2<p3 construction — triangle membership is orientation-"
+    "invariant. Output: (node, degree, n_tri, clustering_coeff) for "
+    "every node of the graph; deg<2 nodes get coefficient 0.",
+    tags=("graph", "triangle", "clustering", "G1"),
+)
+def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, deg, oriented = _copurchase_oriented(spark, sf_dir)
+    tri3 = _closed_wedges(oriented).select(
+        F.explode(F.array("apex", "u", "v")).alias("node")
+    )
+    tcnt = tri3.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    d = deg.select(F.col("p").alias("node"), F.col("d").alias("degree"))
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+    coeff = F.when(
+        F.col("degree") >= 2,
+        2.0 * n_tri / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return d.join(tcnt, "node", "left").select(
+        "node",
+        "degree",
+        n_tri.alias("n_tri"),
+        F.round(coeff, 6).alias("clustering_coeff"),
     )

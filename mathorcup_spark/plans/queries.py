@@ -18,9 +18,13 @@ from ..operators import (  # noqa: F401
 )
 from ..streaming import windows  # noqa: F401
 
+# digest builds its oracles FROM already-registered members, so it must
+# import after every member module above (including suites/windows)
+from ..operators import digest  # noqa: F401  isort: skip
+
 _ALL = [
     cars, cluster, corpus,
     relational, scalar, metrics, sampling, graph, temporal, analytics,
     tpch_more, text, dedup, similarity, multimodal, windows, pipelines,
-    graph_embed, suites,
+    graph_embed, suites, digest,
 ]

@@ -115,8 +115,16 @@ def oracle_davg(expr: str, alias: str) -> str:
 # + the 4 scalar-output shapes composed). Fine-grained member queries stay
 # registered as the user-facing API — bench/plan-audit/pytest run the
 # full registry — and COVERAGE.md maps §2 operator -> covering
-# driver query. Only r_seeded_suite and ml_pipeline_suite are
-# rows-only (seeded RNG / MLlib fits: no cross-engine oracle).
+# driver query. Round 5 adds the full-width digest suites
+# (operators/digest.py): every member row hashed over ALL its
+# columns, so the queries they absorb (d_minhash_lsh, d_simhash,
+# d_lsh_rescore_e2e, s_tsv_parse_ragged, a_grouping_sets,
+# a_pivot_event_values, g_bidirectional_mrr) are verified MORE
+# strongly than by their former individual slots. Exactly four
+# surface queries are rows-only by design (no cross-engine oracle):
+# r_seeded_suite (seeded RNG), ml_pipeline_suite + ml_kmeans_ivf_ann
+# (MLlib fits), st_stateful_suite (real readStream runs,
+# self-asserting stream==batch flags).
 DRIVER_SURFACE: tuple[str, ...] = (
     "flagship_revenue_by_priority",
     "rel_projection_suite",
@@ -124,21 +132,21 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "rel_agg_suite",
     "rel_window_suite",
     "rel_setops_suite",
-    "a_grouping_sets",
-    "a_pivot_event_values",
+    "agg_digest_suite",
+    "lake_digest_suite",
     "j_specialty_suite",
-    "d_lsh_rescore_e2e",
+    "specialty_digest_suite",
     "s_sink_roundtrip_suite",
     "a_approx_count_distinct",
     "r_deterministic_suite",
     "r_seeded_suite",
     "m_regression_suite",
     "m_classification_suite",
-    "g_bidirectional_mrr",
+    "g_clustering_coefficient",
     "car_pipeline_e2e",
     "st_batch_semantics_suite",
-    "d_minhash_lsh",
-    "d_simhash",
+    "st_stateful_suite",
+    "corpus_pipeline_v4",
     "d_dedup_suite",
     "sim_ann_suite",
     "mm_multimodal_suite",
@@ -148,7 +156,7 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "g_graph_suite",
     "ev_analytics_suite",
     "ml_pipeline_suite",
-    "s_tsv_parse_ragged",
+    "ml_kmeans_ivf_ann",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",

@@ -220,3 +220,179 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "signup"),
         events.filter(F.col("event_type") == "click"),
     )
+
+
+@register(
+    "st_stateful_suite",
+    oracle=None,  # genuine readStream runs: no cross-engine oracle
+    doc="Stateful Structured Streaming, driver-verified (rows-only, "
+    "the ml_checkpoint_roundtrip pattern applied to streaming): each "
+    "row is a REAL readStream run over the events table compared "
+    "against its batch equivalent, with a self-asserted match flag — "
+    "(check, n_keys, n_mismatch, match). Checks: (1) "
+    "applyInPandasWithState per-user running count+sum (custom "
+    "GroupState operator, update mode) == batch groupBy-agg; (2) "
+    "watermarked tumbling-window aggregation through a real "
+    "readStream == the oracle-verified st_tumbling_window batch "
+    "plan; (3) checkpointed restart — the stream is stopped after "
+    "the first file and restarted on the same checkpoint dir over "
+    "the full input, asserting exactly-once results (no dropped or "
+    "double-counted rows). The fn RAISES if any flag is 0, so a "
+    "silent semantics drift cannot produce a green row. Events are "
+    "re-materialized with micros timestamps first (the raw file is "
+    "TIMESTAMP(NANOS), unreadable by the streaming parquet source).",
+    tags=("streaming", "stateful", "checkpoint", "suite"),
+)
+def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="mathorcup_stream_")
+    tag = uuid.uuid4().hex[:8]
+    rows: list[tuple[str, int, int, int]] = []
+    try:
+        src = f"{work}/events"
+        events.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def stream():
+            return spark.readStream.schema(schema).parquet(src)
+
+        # (1) custom stateful operator: running per-user count + sum
+        out_schema = "user_id long, n long, total double"
+        state_schema = "n long, total double"
+
+        def update(key, pdfs, state):
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]}
+            )
+
+        name1 = f"st_state_{tag}"
+        q = (
+            stream()
+            .withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update", "NoTimeout"
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name1)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["user_id"]: (r["n"], round(r["total"], 6))
+                for r in spark.sql(
+                    f"SELECT user_id, max(n) AS n, max(total) AS total "
+                    f"FROM {name1} GROUP BY user_id"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            r["user_id"]: (r["n"], round(r["total"], 6))
+            for r in spark.read.parquet(src)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        bad = sum(1 for k in want if got.get(k) != want[k]) + len(
+            set(got) - set(want)
+        )
+        rows.append(("apply_in_pandas_with_state", len(want), bad, int(bad == 0)))
+
+        # (2) watermarked tumbling window through a real readStream
+        name2 = f"st_tumb_{tag}"
+        q = (
+            tumbling_agg(stream().withWatermark("ts", "30 minutes"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name2)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got_rows = sorted(
+                map(tuple, spark.sql(f"SELECT * FROM {name2}").collect())
+            )
+        finally:
+            q.stop()
+        want_rows = sorted(map(tuple, tumbling_agg(events).collect()))
+        bad = sum(1 for g, w in zip(got_rows, want_rows) if g != w) + abs(
+            len(got_rows) - len(want_rows)
+        )
+        rows.append(("tumbling_readstream", len(want_rows), bad, int(bad == 0)))
+
+        # (3) checkpointed restart, exactly-once: first run sees only
+        # file A; restart on the same checkpoint adds file B; final
+        # counts must equal batch over A+B (nothing lost or doubled)
+        half = events.agg(F.expr("max(event_id) div 2")).first()[0]
+        src_a = f"{work}/restart_src"
+        events.filter(F.col("event_id") <= half).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src_a)
+        ckpt = f"{work}/ckpt"
+        sink = f"{work}/sink"
+
+        def start_counts():
+            return (
+                spark.readStream.schema(schema)
+                .parquet(src_a)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"))
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(f"st_restart_{tag}")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start_counts()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        events.filter(F.col("event_id") > half).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_a)
+        q = start_counts()
+        try:
+            q.processAllAvailable()
+            got2 = {
+                r["event_type"]: r["n"]
+                for r in spark.sql(
+                    f"SELECT * FROM st_restart_{tag}"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        want2 = {
+            r["event_type"]: r["n"]
+            for r in events.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        bad = sum(1 for k in want2 if got2.get(k) != want2[k]) + len(
+            set(got2) - set(want2)
+        )
+        rows.append(("checkpoint_restart", len(want2), bad, int(bad == 0)))
+        _ = sink  # reserved: file-sink variant would write here
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    failed = [r for r in rows if r[3] == 0]
+    assert not failed, f"stream/batch mismatch: {failed}"
+    return spark.createDataFrame(
+        rows, "check STRING, n_keys LONG, n_mismatch LONG, match LONG"
+    )

@@ -84,7 +84,7 @@ def test_driver_surface():
     """The driver verifies a bounded set of queries (50 in round 1):
     the surface exposed via __spark_entry__ must be exactly the 50
     DRIVER_SURFACE names, registered, deduplicated, leading the full
-    registry ordering, and with at most the two by-design rows-only
+    registry ordering, and with exactly the four by-design rows-only
     queries lacking oracles."""
     surface = registry.driver_surface()
     assert len(surface) == 50
@@ -94,4 +94,9 @@ def test_driver_surface():
     assert tuple(qs[: len(registry.DRIVER_SURFACE)]) == registry.DRIVER_SURFACE
     ors = registry.driver_oracles()
     rows_only = [q for q in registry.DRIVER_SURFACE if q not in ors]
-    assert rows_only == ["r_seeded_suite", "ml_pipeline_suite"]
+    assert rows_only == [
+        "r_seeded_suite",
+        "st_stateful_suite",
+        "ml_pipeline_suite",
+        "ml_kmeans_ivf_ann",
+    ]

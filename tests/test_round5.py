@@ -1,0 +1,50 @@
+"""Round-5 additions: stateful-streaming driver row, learned-centroid
+IVF, digest-suite drift guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from mathorcup_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_st_stateful_suite_self_asserts(spark):
+    """The suite raises on any stream/batch mismatch; a green return
+    must carry match=1 on every check."""
+    registry._bootstrap()
+    rows = registry.REGISTRY["st_stateful_suite"].fn(spark, SF_DIR).collect()
+    assert {r["check"] for r in rows} == {
+        "apply_in_pandas_with_state",
+        "tumbling_readstream",
+        "checkpoint_restart",
+    }
+    assert all(r["match"] == 1 and r["n_mismatch"] == 0 for r in rows)
+
+
+def test_kmeans_ivf_beats_fair_seeded_baseline(spark):
+    """Learned (spherical-KMeans) centroids must match or beat the
+    FAIR seeded baseline — first-K seeding with seeds disjoint from
+    the query batch. (The registered sim_ivf_ann's ~0.86 recall is
+    inflated by query==seed overlap; see the query doc.)"""
+    registry._bootstrap()
+    rows = {
+        r["method"]: r["recall_at_5"]
+        for r in registry.REGISTRY["ml_kmeans_ivf_ann"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"kmeans_ivf", "seeded_ivf", "seeded_ivf_disjoint"}
+    assert rows["kmeans_ivf"] >= rows["seeded_ivf_disjoint"]
+    assert 0.0 <= rows["kmeans_ivf"] <= 1.0
+
+
+def test_digest_declared_columns_must_match_member_schema(spark):
+    """A digest member whose schema drifts from the declared column
+    list fails loudly (the full-width coverage contract)."""
+    from mathorcup_spark.operators.digest import _digest_suite
+
+    _, fn = _digest_suite(
+        [("histogram", "a_histogram", [("bin", "num")])]  # missing "n"
+    )
+    with pytest.raises(AssertionError, match="declared columns"):
+        fn(spark, SF_DIR).collect()
