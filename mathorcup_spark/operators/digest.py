@@ -243,6 +243,15 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("incr_index", "d_incremental_index_dedup",
      [("idx_id", "num"), ("new_id", "num"), ("est_jaccard", "double"),
       ("jaccard", "double")]),
+    # the only two slot-suite members whose width exceeds their slots
+    # (est_jaccard / docs_in_capped) — with them here, EVERY oracled
+    # registry query is driver-verified over ALL of its columns
+    ("incr_inline", "d_incremental_dedup",
+     [("idx_id", "num"), ("new_id", "num"), ("est_jaccard", "double"),
+      ("jaccard", "double")]),
+    ("bucket_stats", "d_lsh_bucket_stats",
+     [("band", "num"), ("n_buckets", "num"), ("max_bucket", "num"),
+      ("n_capped", "num"), ("docs_in_capped", "num")]),
     ("minhash_lsh", "d_minhash_lsh",
      [("doc_a", "num"), ("doc_b", "num"), ("est_jaccard", "double")]),
     ("simhash", "d_simhash",

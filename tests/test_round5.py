@@ -48,3 +48,47 @@ def test_digest_declared_columns_must_match_member_schema(spark):
     )
     with pytest.raises(AssertionError, match="declared columns"):
         fn(spark, SF_DIR).collect()
+
+
+def test_every_oracled_query_fully_driver_covered(spark):
+    """The round-5 evidence contract: every oracled registry query is
+    driver-verified over ALL of its output columns — it is on the
+    surface itself, a full-width digest member, or a slot-suite
+    member whose every output column appears in its slot mapping.
+    A future member added with uncovered columns fails here."""
+    import re
+
+    registry._bootstrap()  # must precede the digest import: its
+    # suite oracles are built from already-registered members
+
+    from mathorcup_spark.operators import digest as dg
+
+    slot_members: dict[str, str] = {}
+    src = open("mathorcup_spark/operators/suites.py").read()
+    pat = re.compile(
+        r'\(\s*"[^"]+",\s*"([a-z0-9_]+)",\s*\{(.*?)\}\s*\)', re.DOTALL
+    )
+    for q, body in pat.findall(src):
+        exprs = " ".join(v for _, v in re.findall(r'"([a-z0-9_]+)":\s*"([^"]*)"', body))
+        slot_members[q] = slot_members.get(q, "") + " " + exprs
+
+    digest_members = {
+        q
+        for mlist in (dg._AGG_MEMBERS, dg._LAKE_MEMBERS, dg._SPECIALTY_MEMBERS)
+        for _, q, _cols in mlist
+    }
+    surface = set(registry.DRIVER_SURFACE)
+
+    uncovered = {}
+    for name, q in registry.REGISTRY.items():
+        if q.oracle is None or name in surface or name in digest_members:
+            continue
+        if name not in slot_members:
+            uncovered[name] = "not a member of any driver suite"
+            continue
+        cols = q.fn(spark, SF_DIR).columns
+        ids = set(re.findall(r"[a-z_][a-z0-9_]*", slot_members[name]))
+        missing = [c for c in cols if c not in ids]
+        if missing:
+            uncovered[name] = f"columns {missing} not in slot mapping"
+    assert not uncovered, f"oracled queries lacking full driver coverage: {uncovered}"
