@@ -145,3 +145,61 @@ def query_lsh_index(
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= k
     )
+
+
+def append_to_lsh_index(emb: DataFrame, index_dir: str) -> None:
+    """Absorb a vector batch into the persisted index — the ingest
+    loop's second half (probe the batch for near-dups/neighbors,
+    then append it so later batches see it).
+
+    Appends are dynamic-partition file adds: the batch's bucket
+    memberships land as new files inside their (t, bucket)
+    directories and its vectors append to ``vectors/``. No existing
+    file is rewritten, so append cost is batch-sized at any index
+    size — the same discipline as ``minhash_index.append_to_
+    minhash_index``, and the same fragmentation trade measured in
+    SCALING.md § append fragmentation (compaction below restores
+    one-file-per-partition).
+    """
+    _bucketed(emb).write.mode("append").partitionBy("t", "bucket").parquet(
+        f"{index_dir}/buckets"
+    )
+    (
+        emb.select("vec_id", F.col("embedding").alias("e"))
+        .withColumn("nrm", _vnorm("e"))
+        .write.mode("append")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def compact_lsh_index(spark: SparkSession, index_dir: str) -> None:
+    """Rewrite both layouts to one sorted file per partition and swap
+    via rename-aside (old -> .bak, new -> old, drop .bak) so an
+    interrupted compaction never destroys the only copy — the
+    crash-safe swap `minhash_index.compact_minhash_index` uses."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ann_compact_", dir=index_dir)
+    (
+        spark.read.parquet(f"{index_dir}/buckets")
+        .repartition("t", "bucket")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("t", "bucket")
+        .parquet(f"{tmp}/buckets")
+    )
+    (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .repartitionByRange(8, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/vectors")
+    )
+    for layout in ("buckets", "vectors"):
+        old = f"{index_dir}/{layout}"
+        bak = f"{old}.bak"
+        shutil.move(old, bak)
+        shutil.move(f"{tmp}/{layout}", old)
+        shutil.rmtree(bak)
+    shutil.rmtree(tmp, ignore_errors=True)
