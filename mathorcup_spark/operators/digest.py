@@ -229,6 +229,10 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("funnel", "ev_funnel_conversion",
      [("n_signup", "num"), ("n_click_after_signup", "num"),
       ("n_purchase_after_click", "num")]),
+    ("sessionize", "ev_sessionize",
+     [("user_id", "num"), ("session_seq", "num"), ("n_events", "num"),
+      ("start_us", "num"), ("end_us", "num"), ("duration_us", "num"),
+      ("n_event_types", "num")]),
     ("lag_gap", "w_lag_gap",
      [("event_id", "num"), ("user_id", "num"), ("gap_us", "num"),
       ("next_gap_us", "num")]),
@@ -274,7 +278,8 @@ _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
     oracle=_spec_oracle,
     doc="Specialty queries full-width digested: the four scalar TPC-H "
     "shapes (Q6/Q14/Q17/Q19), cohort retention, funnel conversion, "
-    "lag-gap windows, as-of join, range join, the persisted LSH ANN "
+    "gap-based sessionization, lag-gap windows, as-of join, range "
+    "join, the persisted LSH ANN "
     "index probe, the persisted incremental MinHash index probe, "
     "MinHash-LSH, SimHash, the LSH->Jaccard rescore pipeline, ragged "
     "TSV parse, and bidirectional MRR — every column of every member "

@@ -145,3 +145,92 @@ def w_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (us - F.lag(us).over(w)).alias("gap_us"),
         (F.lead(us).over(w) - us).alias("next_gap_us"),
     )
+
+
+# 6 hours in microseconds: the sf events stream has a ~7.3h median
+# inter-event gap per user (measured at sf0.01), so this threshold
+# genuinely splits user histories into multi-event sessions instead
+# of one-session-per-user or all-singletons.
+_SESSION_GAP_US = 21_600_000_000
+
+
+@register(
+    "ev_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 21600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_type, ts_us,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts_us) AS start_us,
+           max(ts_us) AS end_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           count(DISTINCT event_type) AS n_event_types
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    doc="Batch gap-based sessionization (the reference has no event "
+    "sessions at all; the streaming surface's st_session_window is "
+    "the watermark analogue of this batch form): per user, a new "
+    "session starts at the first event or after a >6h silence; the "
+    "session id is the running count of session starts "
+    "(lag -> cumulative sum, both over ONE (user_id, ts, event_id) "
+    "sort), and each session is reduced to start/end/duration/"
+    "event-count/distinct-type aggregates. Scale posture: one "
+    "shuffle on user_id with a single within-key sort serves both "
+    "window passes (identical partition+order spec, so the second "
+    "Window reuses the first's exchange and sort), and the "
+    "session-level groupBy adds NO second exchange: user_id is a "
+    "subset of the (user_id, session_seq) grouping keys, so the "
+    "window's hash partitioning already satisfies the aggregate's "
+    "distribution (one Exchange in the whole plan — see PLANS.md). "
+    "Per-key work is linear in events-per-user at any "
+    "corpus size; no range self-join anywhere. All arithmetic stays "
+    "in BIGINT epoch-micros on both engines (the w_lag_gap "
+    "discipline); ties broken by event_id so session assignment is "
+    "total and deterministic.",
+    tags=("window", "temporal", "sessionize", "events"),
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        us.alias("ts_us"),
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum("new_s")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )

@@ -92,3 +92,31 @@ def test_every_oracled_query_fully_driver_covered(spark):
         if missing:
             uncovered[name] = f"columns {missing} not in slot mapping"
     assert not uncovered, f"oracled queries lacking full driver coverage: {uncovered}"
+
+
+def test_sessionize_invariants(spark):
+    """Gap-sessionization semantic contract, checkable from the output
+    alone: sessions exactly partition the event stream, session ids
+    are contiguous per user, and consecutive sessions of one user are
+    separated by MORE than the 6h threshold (otherwise they would have
+    been one session)."""
+    from mathorcup_spark.catalog import load
+    from mathorcup_spark.operators.temporal import _SESSION_GAP_US
+
+    registry._bootstrap()
+    rows = registry.REGISTRY["ev_sessionize"].fn(spark, SF_DIR).collect()
+    n_events_total = load(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events_total
+
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r["session_seq"])
+        assert [r["session_seq"] for r in sessions] == list(
+            range(1, len(sessions) + 1)
+        )
+        for prev, nxt in zip(sessions, sessions[1:]):
+            assert nxt["start_us"] - prev["end_us"] > _SESSION_GAP_US
+            assert prev["duration_us"] == prev["end_us"] - prev["start_us"]
+            assert 1 <= prev["n_event_types"] <= prev["n_events"]

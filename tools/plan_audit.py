@@ -95,6 +95,9 @@ EXPECT: dict[str, dict] = {
     "g_triangle_count": {"bnlj_ok": True},
     "j_asof_join": {},
     "j_range_join": {},
+    # lag + cumulative-sum share ONE (user_id, ts, event_id) sort;
+    # session aggregate partial-aggregates before its shuffle
+    "ev_sessionize": {},
     "d_minhash_lsh": {},
     # the bucket-size guard: one extra groupBy on the SAME (band,
     # bucket) key as the candidate join — no new join strategy
