@@ -1123,3 +1123,63 @@ def d_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_capped",
         "docs_in_capped",
     )
+
+
+@register(
+    "d_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             )) AS shingles
+      FROM (SELECT doc_id, source,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / nullif(len(a.shingles), 0), 6) AS containment_a,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / nullif(len(b.shingles), 0), 6) AS containment_b
+    FROM sh a JOIN sh b
+      ON a.source = b.source
+     AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+    """,
+    doc="Directed containment scoring — the asymmetric near-dup "
+    "measure Jaccard misses: containment_a = |A∩B| / |A| is ~1.0 "
+    "when a SHORT document is wholly embedded in a long one even "
+    "though their Jaccard is tiny (the short-doc-quoted-in-long-doc "
+    "case an LLM corpus dedup actually needs to catch; Broder's "
+    "resemblance-vs-containment distinction). Same distinct word-"
+    "3-gram shingles and key-bounded candidate pairs as "
+    "d_ngram_jaccard (same source, id distance <= 20 — candidate "
+    "generation by blocked equi-join, never all-pairs), emitting "
+    "both directions so the consumer can threshold either. Docs "
+    "under 3 words carry an empty shingle set and NULL containment "
+    "on both engines (nullif/when divide guards).",
+    tags=("dedup", "containment", "jaccard"),
+)
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    # tokenize-then-repartition before the shingle HOF, the
+    # d_ngram_jaccard discipline (no CSE inside Catalyst lambdas)
+    wdf = docs.select("doc_id", "source", words.alias("words"))
+    if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        wdf = wdf.repartition("doc_id")
+    sh = wdf.select("doc_id", "source", _shingles(F.col("words")).alias("shingles"))
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    sz_a = F.size(F.col("a.shingles"))
+    sz_b = F.size(F.col("b.shingles"))
+    return _id_window_join(sh).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.when(sz_a > 0, inter.cast("double") / sz_a), 6
+        ).alias("containment_a"),
+        F.round(
+            F.when(sz_b > 0, inter.cast("double") / sz_b), 6
+        ).alias("containment_b"),
+    )

@@ -260,6 +260,9 @@ _SPECIALTY_MEMBERS: list[Member] = [
      [("doc_a", "num"), ("doc_b", "num"), ("est_jaccard", "double")]),
     ("simhash", "d_simhash",
      [("doc_a", "num"), ("doc_b", "num"), ("hamming", "num")]),
+    ("containment", "d_containment",
+     [("doc_a", "num"), ("doc_b", "num"), ("containment_a", "double"),
+      ("containment_b", "double")]),
     ("lsh_rescore", "d_lsh_rescore_e2e",
      [("doc_a", "num"), ("doc_b", "num"), ("est_jaccard", "double"),
       ("jaccard", "double")]),
@@ -281,7 +284,8 @@ _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
     "gap-based sessionization, lag-gap windows, as-of join, range "
     "join, the persisted LSH ANN "
     "index probe, the persisted incremental MinHash index probe, "
-    "MinHash-LSH, SimHash, the LSH->Jaccard rescore pipeline, ragged "
+    "MinHash-LSH, SimHash, directed containment scoring, the "
+    "LSH->Jaccard rescore pipeline, ragged "
     "TSV parse, and bidirectional MRR — every column of every member "
     "row md5-hash-verified in one driver row. Members that "
     "previously held individual driver slots (d_minhash_lsh, "

@@ -120,3 +120,27 @@ def test_sessionize_invariants(spark):
             assert nxt["start_us"] - prev["end_us"] > _SESSION_GAP_US
             assert prev["duration_us"] == prev["end_us"] - prev["start_us"]
             assert 1 <= prev["n_event_types"] <= prev["n_events"]
+
+
+def test_containment_dominates_jaccard(spark):
+    """|A∩B|/|A| >= |A∩B|/|A∪B| for every pair (containment can only
+    exceed resemblance), both directions bounded to [0,1], and the
+    pair sets of d_containment / d_ngram_jaccard are identical (same
+    candidate contract)."""
+    registry._bootstrap()
+    cont = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in registry.REGISTRY["d_containment"].fn(spark, SF_DIR).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.REGISTRY["d_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    assert cont.keys() == jac.keys() and cont
+    for pair, r in cont.items():
+        ca, cb, j = r["containment_a"], r["containment_b"], jac[pair]
+        for c in (ca, cb):
+            if c is not None:
+                assert 0.0 <= c <= 1.0
+                # rounding to 6dp can perturb each side by <=5e-7
+                assert j is None or c >= j - 1e-6

@@ -98,6 +98,8 @@ EXPECT: dict[str, dict] = {
     # lag + cumulative-sum share ONE (user_id, ts, event_id) sort;
     # session aggregate partial-aggregates before its shuffle
     "ev_sessionize": {},
+    # same blocked (source, id-block) equi-join as d_ngram_jaccard
+    "d_containment": {},
     "d_minhash_lsh": {},
     # the bucket-size guard: one extra groupBy on the SAME (band,
     # bucket) key as the candidate join — no new join strategy
