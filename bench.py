@@ -116,6 +116,8 @@ HEADLINE = [
     "g_clustering_coefficient",
     "corpus_pipeline_v4",
     "ml_kmeans_ivf_ann",
+    "ev_sessionize",
+    "d_containment",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the
@@ -228,7 +230,7 @@ def main() -> None:
         json.dumps(headline, indent=1) + "\n"
     )
     # Keep the printed line under the driver's ~2000-char stdout-tail
-    # capture: compact separators, 2-decimal per-query medians, and NO
+    # capture: compact separators, 1-decimal per-query medians, and NO
     # embedded headline copy (the full-precision headline lives in the
     # committed BENCH_HEADLINE.json above). A >2000-char line gets its
     # HEAD truncated by the tail capture and parses as null.
@@ -237,7 +239,7 @@ def main() -> None:
             "metric": "headline_queries_total",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
-            "queries": {n: round(t, 2) for n, t in timings.items()},
+            "queries": {n: round(t, 1) for n, t in timings.items()},
             "sf": float(sf),
             "headline_file": "BENCH_HEADLINE.json",
         },
@@ -252,7 +254,7 @@ def main() -> None:
                     "metric": "headline_queries_total",
                     "value": round(sum(timings.values()), 3),
                     "unit": "sec",
-                    "queries": {n: round(t, 2) for n, t in q},
+                    "queries": {n: round(t, 1) for n, t in q},
                     "sf": float(sf),
                     "headline_file": "BENCH_HEADLINE.json",
                 },
