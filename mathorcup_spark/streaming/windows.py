@@ -237,7 +237,14 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan; (3) checkpointed restart — the stream is stopped after "
     "the first file and restarted on the same checkpoint dir over "
     "the full input, asserting exactly-once results (no dropped or "
-    "double-counted rows). The fn RAISES if any flag is 0, so a "
+    "double-counted rows); (4) streaming ingest maintaining the "
+    "persisted MinHash index — documents arrive as micro-batches, "
+    "each probed against then appended to the live index "
+    "(foreachBatch), asserting the maintained index content-equals "
+    "a one-shot build over the full corpus AND the per-batch dedup "
+    "decisions reproduce the one-shot probe exactly on the initial "
+    "corpus with only legitimate cross-batch extras. The fn RAISES "
+    "if any flag is 0, so a "
     "silent semantics drift cannot produce a green row. Events are "
     "re-materialized with micros timestamps first (the raw file is "
     "TIMESTAMP(NANOS), unreadable by the streaming parquet source).",
@@ -388,6 +395,114 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append(("checkpoint_restart", len(want2), bad, int(bad == 0)))
         _ = sink  # reserved: file-sink variant would write here
+
+        # (4) streaming ingest maintaining the persisted MinHash
+        # index (sources/minhash_index.py): initial index over the
+        # low-id 60% of documents, the rest arriving as single-file
+        # micro-batches; foreachBatch PROBES the batch against the
+        # index, records its near-dup decisions, then APPENDS it so
+        # the next batch dedups against it too — the production
+        # ingest loop. Two assertions:
+        #   convergence — after the stream drains, the maintained
+        #   index's band and shingle stores must content-equal a
+        #   one-shot index built over the full corpus (compared via
+        #   order-independent xxhash64 sums; the shingle store's dp
+        #   column is excluded as it derives from the WIDTH layout
+        #   parameter fixed at creation time, while pb derives from
+        #   the bucket value alone and must match);
+        #   probe parity — the union of per-batch decisions,
+        #   restricted to index-side ids from the initial corpus,
+        #   must exactly equal the one-shot probe of all arrivals
+        #   against an initial-only index (every extra pair must be
+        #   cross-batch, i.e. index-side id from a later arrival).
+        from ..catalog import load as _load
+        from ..sources.minhash_index import (
+            append_to_minhash_index,
+            probe_minhash_index,
+            write_minhash_index,
+        )
+
+        docs = _load(spark, sf_dir, "documents")
+        t = int(docs.agg(F.expr("(max(doc_id) * 3) div 5")).first()[0])
+        initial = docs.filter(F.col("doc_id") < t)
+        rest = docs.filter(F.col("doc_id") >= t)
+        live_idx = f"{work}/mh_live"
+        write_minhash_index(spark, initial, live_idx)
+        # snapshot the initial-only index now (file copy, not a
+        # second Spark build) — the probe-parity check needs it after
+        # the stream has mutated live_idx
+        probe_idx = f"{work}/mh_initial"
+        shutil.copytree(live_idx, probe_idx)
+        arrivals = f"{work}/arrivals"
+        rest.repartition(4).write.mode("overwrite").parquet(arrivals)
+        doc_schema = spark.read.parquet(arrivals).schema
+
+        decisions: set[tuple[int, int]] = set()
+
+        def ingest(batch_df, _batch_id):
+            batch = batch_df.localCheckpoint(eager=True)
+            decisions.update(
+                (r["idx_id"], r["new_id"])
+                for r in probe_minhash_index(spark, live_idx, batch).collect()
+            )
+            append_to_minhash_index(spark, live_idx, batch)
+
+        q = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{work}/ingest_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        oneshot_idx = f"{work}/mh_oneshot"
+        write_minhash_index(spark, docs, oneshot_idx)
+
+        def _csum(*cols):
+            # order-independent, ANSI-overflow-safe content checksum:
+            # per-row xxhash64 folded into [0, 2^31) before summing,
+            # so the long accumulator is safe to ~2^33 rows
+            return F.sum(F.pmod(F.xxhash64(*cols), F.lit(2_147_483_647)))
+
+        def _store_sums(idx_dir: str) -> tuple:
+            b = (
+                spark.read.parquet(f"{idx_dir}/bands")
+                .select(
+                    _csum("doc_id", "bucket", "sig", "band", "pb").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .first()
+            )
+            s = (
+                spark.read.parquet(f"{idx_dir}/shingles")
+                .select(
+                    _csum("doc_id", "shingles").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .first()
+            )
+            return (b["s"], b["n"], s["s"], s["n"])
+
+        live_sums, want_sums = _store_sums(live_idx), _store_sums(oneshot_idx)
+        n_docs_live = int(
+            spark.read.parquet(f"{live_idx}/meta").first()["n_docs"]
+        )
+        bad = sum(1 for g, w in zip(live_sums, want_sums) if g != w) + int(
+            n_docs_live != docs.count()
+        )
+        rows.append(("index_ingest_convergence", want_sums[1], bad, int(bad == 0)))
+
+        one_shot = {
+            (r["idx_id"], r["new_id"])
+            for r in probe_minhash_index(spark, probe_idx, rest).collect()
+        }
+        streamed_initial = {(a, b) for a, b in decisions if a < t}
+        extras_ok = all(a >= t for a, b in decisions - streamed_initial)
+        bad = len(streamed_initial ^ one_shot) + int(not extras_ok)
+        rows.append(("index_ingest_probe_parity", len(one_shot), bad, int(bad == 0)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

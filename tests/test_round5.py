@@ -19,6 +19,8 @@ def test_st_stateful_suite_self_asserts(spark):
         "apply_in_pandas_with_state",
         "tumbling_readstream",
         "checkpoint_restart",
+        "index_ingest_convergence",
+        "index_ingest_probe_parity",
     }
     assert all(r["match"] == 1 and r["n_mismatch"] == 0 for r in rows)
 
