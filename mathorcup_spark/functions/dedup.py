@@ -1183,3 +1183,103 @@ def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(sz_b > 0, inter.cast("double") / sz_b), 6
         ).alias("containment_b"),
     )
+
+
+# --- repeated-span detection (approximate substring dedup) -----------------
+#
+# The exact-substring dedup of Lee et al. 2021 ("Deduplicating
+# Training Data Makes Language Models Better") finds 50-token spans
+# shared verbatim across documents with a distributed suffix array.
+# The Spark-native approximation used in production lakes replaces
+# the suffix array with fixed-length token shingles: a span is
+# "duplicated" when its 8-word shingle occurs in >= 2 distinct
+# documents, and a document is flagged when more than SPAN_DUP_TAU
+# of its spans are duplicated — the remove-the-copy decision without
+# the O(corpus) suffix structure. Shingles travel as md5 hashes so
+# the shuffle key is 32 bytes regardless of span text length.
+#
+# Scale posture: explode (narrow) -> groupBy shingle-hash with an
+# early count(distinct doc_id) >= 2 filter (map-side partials) ->
+# one hash join back -> per-doc aggregate. No stage is quadratic in
+# corpus size; the duplicated-shingle table is bounded by the true
+# duplicate mass, which is exactly what the filter exists to find.
+
+SPAN_N = 8  # words per span shingle
+SPAN_DUP_TAU = 0.3  # flag docs with >30% duplicated spans
+
+
+@register(
+    "d_span_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             md5(unnest(list_transform(range(1, len(words) - {SPAN_N - 2}),
+                 i -> list_aggregate(words[i:i+{SPAN_N - 1}], 'string_agg', ' '))))
+               AS h
+      FROM w WHERE len(words) >= {SPAN_N}
+    ), dup AS (
+      SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), scored AS (
+      SELECT s.doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM spans s LEFT JOIN dup d ON s.h = d.h GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_span_frac,
+           CASE WHEN CAST(n_dup_spans AS DOUBLE) / n_spans > {SPAN_DUP_TAU}
+                THEN 1 ELSE 0 END AS span_duplicated
+    FROM scored
+    """,
+    doc="Repeated-span detection (Spark-native approximation of "
+    "exact-substring dedup, Lee et al. 2021): per-doc count and "
+    f"fraction of {SPAN_N}-word spans whose shingle occurs in >= 2 "
+    f"distinct documents; flagged above {SPAN_DUP_TAU:.0%}. Spans "
+    "shuffle as md5 hashes; duplicated-shingle table bounded by "
+    "true duplicate mass. Docs shorter than the span width are "
+    "excluded identically on both engines.",
+    tags=("dedup", "span", "quality"),
+)
+def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    wdf = docs.select("doc_id", words.alias("words")).filter(
+        F.size("words") >= SPAN_N
+    )
+    wcol = F.col("words")
+    idx = F.sequence(F.lit(1), F.size(wcol) - (SPAN_N - 1))
+    span_hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(wcol, i, SPAN_N)))
+    )
+    spans = wdf.select(
+        "doc_id", F.explode(span_hashes).alias("h")
+    ).localCheckpoint(eager=False)
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    scored = (
+        spans.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    frac = F.col("n_dup_spans").cast("double") / F.col("n_spans")
+    return scored.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(frac, 6).alias("dup_span_frac"),
+        F.when(frac > SPAN_DUP_TAU, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("span_duplicated"),
+    )

@@ -702,3 +702,124 @@ def pii_from(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("has_pii_signal"),
     )
+
+
+# --- bigram-LM rarity scoring (CCNet-style perplexity filter shape) --------
+#
+# Production perplexity filters (CCNet / Gopher) score documents with
+# a language model trained on a trusted corpus and drop the tail.
+# Log-probability sums are order-dependent doubles and differ across
+# engines in the low bits, so the cross-engine-verifiable form here
+# replaces "sum of log p(w2|w1)" with its integer-exact core: the
+# fraction of a document's word bigrams whose count in a model
+# trained on the trusted partition (lang = 'en' — the reference
+# corpus) falls below a scale-free share of the model's total mass.
+# rare  :=  c(bigram) * RARE_SHARE < total_model_bigrams, i.e. the
+# bigram carries less than 1/RARE_SHARE of the model — invariant
+# under corpus growth, unlike an absolute count cutoff. Production
+# thresholds are corpus-calibrated (CCNet uses per-language
+# perplexity quantiles); the constants here are calibrated to the
+# synthetic corpus so both flag branches are exercised at test scale.
+#
+# Scale posture: one explode over documents (bigrams with
+# multiplicity), one groupBy for the model (map-side partial), one
+# hash join grams->model on the bigram key, one per-doc aggregate.
+# The model table is vocabulary-sized, not corpus-sized; at 100 TB
+# you would persist it once (sources/ discipline) and broadcast a
+# top-V pruned head — here it flows through an ordinary shuffle
+# join and AQE picks the strategy. Docs with fewer than 2 words
+# have no bigrams and are excluded identically on both engines
+# (explicit length filter, per the short-doc contract).
+
+RARE_SHARE = 2000  # rare = bigram mass share below 1/2000 of model
+LM_RARE_TAU = 0.02  # outlier = more than 2% of bigrams are rare
+
+
+@register(
+    "t_lm_rarity_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i+1])) AS g
+      FROM w WHERE len(words) >= 2
+    ), model AS (
+      SELECT g, count(*) AS c FROM grams WHERE lang = 'en' GROUP BY g
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM model
+    ), scored AS (
+      SELECT gr.doc_id, count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN coalesce(m.c, 0) * {RARE_SHARE} < tot.total
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM grams gr LEFT JOIN model m ON gr.g = m.g CROSS JOIN tot
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           round(CAST(n_rare AS DOUBLE) / n_bigrams, 6) AS rare_frac,
+           CASE WHEN CAST(n_rare AS DOUBLE) / n_bigrams > {LM_RARE_TAU}
+                THEN 1 ELSE 0 END AS lm_outlier
+    FROM scored
+    """,
+    doc="Bigram-LM rarity filter (the cross-engine-exact core of a "
+    "CCNet-style perplexity screen): trains bigram counts on the "
+    "trusted lang='en' partition, scores every document by the "
+    "fraction of its bigrams whose model mass share is below "
+    f"1/{RARE_SHARE}, flags docs above {LM_RARE_TAU:.0%}. "
+    "Scale-free threshold (share of model mass, not absolute "
+    "count); explode + model groupBy + one hash join + per-doc "
+    "aggregate — no quadratic stage, model is vocabulary-sized.",
+    tags=("text", "quality", "lm"),
+)
+def t_lm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    wdf = docs.select("doc_id", "lang", words.alias("words")).filter(
+        F.size("words") >= 2
+    )
+    wcol = F.col("words")
+    idx = F.sequence(F.lit(1), F.size(wcol) - 1)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.get(wcol, (i - 1).cast("int")), F.get(wcol, i.cast("int"))
+        ),
+    )
+    # one materialization of the exploded grams feeds both the model
+    # build and the scoring side (lazy localCheckpoint: tokenization
+    # runs once, not once per join branch)
+    grams = wdf.select(
+        "doc_id", "lang", F.explode(bigrams).alias("g")
+    ).localCheckpoint(eager=False)
+    model = grams.filter(F.col("lang") == "en").groupBy("g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = model.agg(F.sum("c").cast("long").alias("total"))
+    scored = (
+        grams.join(model, "g", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("c"), F.lit(0)) * RARE_SHARE
+                    < F.col("total"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    frac = F.col("n_rare").cast("double") / F.col("n_bigrams")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        F.round(frac, 6).alias("rare_frac"),
+        F.when(frac > LM_RARE_TAU, F.lit(1)).otherwise(F.lit(0)).alias("lm_outlier"),
+    )

@@ -193,6 +193,12 @@ _LAKE_MEMBERS: list[Member] = [
     ("pii", "t_pii_scan",
      [("doc_id", "num"), ("n_emails", "num"), ("n_urls", "num"),
       ("n_long_digits", "num"), ("has_pii_signal", "num")]),
+    ("lm_rarity", "t_lm_rarity_score",
+     [("doc_id", "num"), ("n_bigrams", "num"), ("n_rare", "num"),
+      ("rare_frac", "double"), ("lm_outlier", "num")]),
+    ("span_dedup", "d_span_dedup",
+     [("doc_id", "num"), ("n_spans", "num"), ("n_dup_spans", "num"),
+      ("dup_span_frac", "double"), ("span_duplicated", "num")]),
 ]
 
 _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
@@ -204,8 +210,9 @@ _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
     doc="Training-data-lake queries full-width digested: sequence-pack "
     "manifest, corpus prep e2e, hygiene-screened corpus_pipeline_v3, "
     "stratified + weighted sampling, ANN recall@5 measurement, "
-    "event interval join, and the three hygiene screens "
-    "(decontamination, Gopher repetition, PII) — every column of "
+    "event interval join, the three hygiene screens "
+    "(decontamination, Gopher repetition, PII), the bigram-LM "
+    "rarity screen, and repeated-span dedup — every column of "
     "every member row md5-hash-verified in one driver row.",
     tags=("text", "corpus", "sampling", "suite", "digest"),
 )
