@@ -118,6 +118,11 @@ HEADLINE = [
     "ml_kmeans_ivf_ann",
     "ev_sessionize",
     "d_containment",
+    "t_lm_rarity_score",
+    "d_span_dedup",
+    "a_approx_quantile_sketch",
+    "ev_rfm_scores",
+    "g_kcore",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

@@ -137,6 +137,10 @@ _AGG_MEMBERS: list[Member] = [
     ("pivot", "a_pivot_event_values",
      [("user_id", "num"), ("click", "double"), ("view", "double"),
       ("purchase", "double"), ("signup", "double"), ("error", "double")]),
+    ("quantile_sketch", "a_approx_quantile_sketch",
+     [("l_returnflag", "string"), ("n", "num"), ("p50_exact", "double"),
+      ("p95_exact", "double"), ("p50_within_2pct", "num"),
+      ("p95_within_2pct", "num")]),
 ]
 
 _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
@@ -278,6 +282,11 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("bidir_mrr", "g_bidirectional_mrr",
      [("dir", "string"), ("mrr", "double"), ("hits1", "double"),
       ("hits3", "double"), ("hits10", "double"), ("n_queries", "num")]),
+    ("rfm", "ev_rfm_scores",
+     [("user_id", "num"), ("recency_us", "num"), ("frequency", "num"),
+      ("monetary", "double"), ("r_score", "num"), ("f_score", "num"),
+      ("m_score", "num"), ("segment", "string")]),
+    ("kcore", "g_kcore", [("node", "num"), ("core_degree", "num")]),
 ]
 
 _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
@@ -293,7 +302,8 @@ _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
     "index probe, the persisted incremental MinHash index probe, "
     "MinHash-LSH, SimHash, directed containment scoring, the "
     "LSH->Jaccard rescore pipeline, ragged "
-    "TSV parse, and bidirectional MRR — every column of every member "
+    "TSV parse, bidirectional MRR, RFM segmentation, and the k-core "
+    "decomposition — every column of every member "
     "row md5-hash-verified in one driver row. Members that "
     "previously held individual driver slots (d_minhash_lsh, "
     "d_simhash, d_lsh_rescore_e2e, s_tsv_parse_ragged, "

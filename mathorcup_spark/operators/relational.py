@@ -1045,3 +1045,50 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.abs(approx - exact) / exact <= 0.05).alias("within_5pct"),
     )
+
+
+@register(
+    "a_approx_quantile_sketch",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+           TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_percentile (Greenwald-Khanna sketch) graded against "
+    "the exact percentile per group — the quantile companion to "
+    "a_approx_count_distinct's HLL contract. Exact percentile "
+    "buffers every group value in aggregation state and dies at "
+    "100 TB; the GK sketch is constant-state and mergeable "
+    "map-side, so it IS the production quantile path — and like any "
+    "sketch its estimate is engine-specific, so the hash-checked "
+    "contract is the ACCURACY: the query emits within-2%%-of-exact "
+    "flags (sketch rank accuracy 1e-4, making 2%% value error a "
+    "wide margin on this distribution) and the oracle expects TRUE. "
+    "The exact p50/p95 columns are themselves hash-verified against "
+    "DuckDB quantile_cont (interpolation semantics match "
+    "bit-for-bit, the a_group_quantiles precedent).",
+    tags=("agg", "approx", "quantiles"),
+)
+def a_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        p: F.expr(f"percentile(l_extendedprice, {q})")
+        for p, q in (("p50", 0.50), ("p95", 0.95))
+    }
+    approx = {
+        p: F.expr(f"approx_percentile(l_extendedprice, {q}, 10000)")
+        for p, q in (("p50", 0.50), ("p95", 0.95))
+    }
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact["p50"], 6).alias("p50_exact"),
+        F.round(exact["p95"], 6).alias("p95_exact"),
+        (F.abs(approx["p50"] - exact["p50"]) / exact["p50"] <= 0.02).alias(
+            "p50_within_2pct"
+        ),
+        (F.abs(approx["p95"] - exact["p95"]) / exact["p95"] <= 0.02).alias(
+            "p95_within_2pct"
+        ),
+    )

@@ -19,12 +19,12 @@ which the 5-minute bound keeps small regardless of total scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..registry import register
+from ..registry import dsum, register
 
 
 @register(
@@ -234,3 +234,98 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         F.countDistinct("event_type").alias("n_event_types"),
     )
+
+
+@register(
+    "ev_rfm_scores",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS recency_us,
+             count(*) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), t AS (
+      SELECT quantile_cont(recency_us, 0.2) AS r1, quantile_cont(recency_us, 0.4) AS r2,
+             quantile_cont(recency_us, 0.6) AS r3, quantile_cont(recency_us, 0.8) AS r4,
+             quantile_cont(frequency, 0.2) AS f1, quantile_cont(frequency, 0.4) AS f2,
+             quantile_cont(frequency, 0.6) AS f3, quantile_cont(frequency, 0.8) AS f4,
+             quantile_cont(monetary, 0.2) AS m1, quantile_cont(monetary, 0.4) AS m2,
+             quantile_cont(monetary, 0.6) AS m3, quantile_cont(monetary, 0.8) AS m4
+      FROM p
+    ), s AS (
+      SELECT p.user_id, p.recency_us, p.frequency, round(p.monetary, 6) AS monetary,
+             1 + CAST(p.recency_us > t.r1 AS INT) + CAST(p.recency_us > t.r2 AS INT)
+               + CAST(p.recency_us > t.r3 AS INT) + CAST(p.recency_us > t.r4 AS INT)
+               AS r_score,
+             1 + CAST(p.frequency > t.f1 AS INT) + CAST(p.frequency > t.f2 AS INT)
+               + CAST(p.frequency > t.f3 AS INT) + CAST(p.frequency > t.f4 AS INT)
+               AS f_score,
+             1 + CAST(p.monetary > t.m1 AS INT) + CAST(p.monetary > t.m2 AS INT)
+               + CAST(p.monetary > t.m3 AS INT) + CAST(p.monetary > t.m4 AS INT)
+               AS m_score
+      FROM p CROSS JOIN t
+    )
+    SELECT user_id, recency_us, frequency, monetary, r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM s
+    """,
+    doc="RFM customer segmentation over the purchase event stream: "
+    "per-user recency (last purchase, epoch micros), frequency "
+    "(purchase count), monetary (decimal-exact value sum), each "
+    "scored 1-5 against the user population's exact quintile "
+    "boundaries, then bucketed into champion / new / at_risk / "
+    "regular segments. Scale posture: scores come from COMPARING "
+    "against broadcast quantile thresholds, not from a global "
+    "ntile sort — one shuffle to the per-user aggregate, one 1-row "
+    "threshold aggregate broadcast back; no single-partition window "
+    "anywhere, linear at any user count. Threshold comparisons use "
+    "the bit-stable percentile<->quantile_cont interpolation "
+    "(a_group_quantiles precedent); monetary sums go through "
+    "decimal(18,6) so quintile edges are order-independent.",
+    tags=("temporal", "events", "analytics", "rfm"),
+)
+def ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("recency_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("value", "monetary"),
+    )
+    qs = (0.2, 0.4, 0.6, 0.8)
+    thresholds = per_user.agg(
+        *[
+            F.expr(f"percentile({m}, {q})").alias(f"{m[0]}{i}")
+            for m in ("recency_us", "frequency", "monetary")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+
+    def score(metric: str) -> Column:
+        c = F.lit(1)
+        for i in range(1, 5):
+            c = c + (F.col(metric) > F.col(f"{metric[0]}{i}")).cast("int")
+        return c.alias(f"{metric[0]}_score")
+
+    s = per_user.crossJoin(F.broadcast(thresholds)).select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        score("recency_us"),
+        score("frequency"),
+        score("monetary"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), F.lit("new"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), F.lit("at_risk"))
+        .otherwise(F.lit("regular"))
+    )
+    return s.withColumn("segment", seg)

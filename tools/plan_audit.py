@@ -198,6 +198,17 @@ EXPECT: dict[str, dict] = {
     # members' own audit entries (above) carry the per-plan
     # assertions — here the suites inherit their members' sanctioned
     # scalar-assembly BNLJs (metrics, recall, scalar TPC-H shapes)
+    # LM rarity / RFM: 1-row model-total & quantile-threshold
+    # aggregates broadcast back over the scoring side (scalar-
+    # assembly BNLJ, the tpch_q11 pattern)
+    "t_lm_rarity_score": {"bnlj_ok": True},
+    "ev_rfm_scores": {"bnlj_ok": True},
+    "d_span_dedup": {},
+    "a_approx_quantile_sketch": {},
+    # peel rounds are lineage-truncated localCheckpoints (audited by
+    # their own shape: one degree agg + two semi-joins per round);
+    # the final plan is the degree aggregate over the converged core
+    "g_kcore": {},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
