@@ -123,6 +123,12 @@ HEADLINE = [
     "a_approx_quantile_sketch",
     "ev_rfm_scores",
     "g_kcore",
+    "lake_snapshot_diff",
+    "lake_scd2_merge",
+    "ts_resample_ffill",
+    "g_bfs_distance",
+    "t_bpe_pair_counts",
+    "sim_quantize_int8",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

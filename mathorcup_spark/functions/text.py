@@ -11,6 +11,7 @@ scale linearly to 100 TB of text.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -822,4 +823,126 @@ def t_lm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rare",
         F.round(frac, 6).alias("rare_frac"),
         F.when(frac > LM_RARE_TAU, F.lit(1)).otherwise(F.lit(0)).alias("lm_outlier"),
+    )
+
+
+@register(
+    "t_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT w FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+    ), pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words)
+    ), counted AS (
+      SELECT pair, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM counted WHERE rnk <= 40
+    """,
+    doc="BPE merge statistics, round 0: corpus-wide adjacent "
+    "character-pair frequencies inside lowercase alphabetic words — "
+    "the pair-counting step a byte-pair-encoding tokenizer trainer "
+    "runs every merge round, here as one distributed plan: explode "
+    "words, explode each word's length-1 positions into 2-grams via "
+    "transform(sequence(...)) (all JVM-side HOFs, no Python), one "
+    "groupBy(pair) count. The top-40 ranking window is global but "
+    "runs AFTER aggregation, over the pair domain (bounded by "
+    "alphabet^2, a few hundred rows) — never over corpus-sized "
+    "data, so the single-partition sort is O(1) at any corpus "
+    "scale. Deterministic (cnt DESC, pair) tie-break.",
+    tags=("text", "bpe", "tokenizer"),
+)
+def t_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    rnk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("pair")))
+    return (
+        counted.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 40)
+        .select("pair", F.col("cnt").cast("long").alias("cnt"), "rnk")
+    )
+
+
+@register(
+    "t_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(t, i, 1) AS ch
+      FROM (SELECT doc_id, lower(text) AS t,
+                   unnest(range(1, length(text) + 1)) AS i
+            FROM documents)
+    ), hist AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS n_distinct
+      FROM hist GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           CAST(any_value(t.n) AS BIGINT) AS n_chars,
+           CAST(any_value(t.n_distinct) AS BIGINT) AS n_distinct,
+           round(CAST(sum(CAST(
+             -(CAST(h.c AS DOUBLE) / t.n) * log2(CAST(h.c AS DOUBLE) / t.n)
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy_bits
+    FROM hist h JOIN tot t USING (doc_id)
+    GROUP BY h.doc_id
+    """,
+    doc="Character-level Shannon entropy per document (lowercased): "
+    "the gibberish/degenerate-text screen — near-zero entropy flags "
+    "single-character spam, unusually high entropy flags "
+    "base64/binary blobs; corpus pipelines cut both tails. "
+    "Distributed as explode-to-chars (transform(sequence) HOF, "
+    "JVM-side) -> (doc_id, char) count -> per-doc -sum(p log2 p), "
+    "with the per-term decimal accumulation making the float sum "
+    "partitioning-independent (the dsum discipline at higher "
+    "scale). Shuffles key on doc_id throughout — embarrassingly "
+    "parallel over documents at any corpus size.",
+    tags=("text", "entropy", "quality"),
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text))),"
+                " i -> substring(lower(text), i, 1))"
+            )
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = (-p * F.log2(p)).cast("decimal(28,12)")
+    return (
+        hist.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("long").alias("n_chars"),
+            F.any_value("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
+        )
     )

@@ -203,6 +203,11 @@ _LAKE_MEMBERS: list[Member] = [
     ("span_dedup", "d_span_dedup",
      [("doc_id", "num"), ("n_spans", "num"), ("n_dup_spans", "num"),
       ("dup_span_frac", "double"), ("span_duplicated", "num")]),
+    ("bpe_pairs", "t_bpe_pair_counts",
+     [("pair", "string"), ("cnt", "num"), ("rnk", "num")]),
+    ("quantize", "sim_quantize_int8",
+     [("vec_id", "num"), ("scale", "double"), ("rmse", "double"),
+      ("max_q", "num"), ("n_dims", "num")]),
 ]
 
 _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
@@ -216,7 +221,8 @@ _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
     "stratified + weighted sampling, ANN recall@5 measurement, "
     "event interval join, the three hygiene screens "
     "(decontamination, Gopher repetition, PII), the bigram-LM "
-    "rarity screen, and repeated-span dedup — every column of "
+    "rarity screen, repeated-span dedup, BPE pair-count "
+    "statistics, and int8 embedding quantization — every column of "
     "every member row md5-hash-verified in one driver row.",
     tags=("text", "corpus", "sampling", "suite", "digest"),
 )
@@ -282,6 +288,16 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("bidir_mrr", "g_bidirectional_mrr",
      [("dir", "string"), ("mrr", "double"), ("hits1", "double"),
       ("hits3", "double"), ("hits10", "double"), ("n_queries", "num")]),
+    ("snapshot_diff", "lake_snapshot_diff",
+     [("c_custkey", "num"), ("change_type", "string"),
+      ("old_acctbal", "double"), ("new_acctbal", "double")]),
+    ("scd2", "lake_scd2_merge",
+     [("c_custkey", "num"), ("acctbal", "double"), ("eff_from", "num"),
+      ("eff_to", "num"), ("is_current", "num")]),
+    ("resample", "ts_resample_ffill",
+     [("user_id", "num"), ("hour", "num"), ("value", "double"),
+      ("carried", "num")]),
+    ("bfs", "g_bfs_distance", [("node", "num"), ("dist", "num")]),
     ("rfm", "ev_rfm_scores",
      [("user_id", "num"), ("recency_us", "num"), ("frequency", "num"),
       ("monetary", "double"), ("r_score", "num"), ("f_score", "num"),
@@ -302,8 +318,10 @@ _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
     "index probe, the persisted incremental MinHash index probe, "
     "MinHash-LSH, SimHash, directed containment scoring, the "
     "LSH->Jaccard rescore pipeline, ragged "
-    "TSV parse, bidirectional MRR, RFM segmentation, and the k-core "
-    "decomposition — every column of every member "
+    "TSV parse, bidirectional MRR, RFM segmentation, the k-core "
+    "decomposition, snapshot-diff CDC, the SCD2 merge, hourly "
+    "resample + forward-fill, and multi-source BFS hop distance "
+    "— every column of every member "
     "row md5-hash-verified in one driver row. Members that "
     "previously held individual driver slots (d_minhash_lsh, "
     "d_simhash, d_lsh_rescore_e2e, s_tsv_parse_ragged, "

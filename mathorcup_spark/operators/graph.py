@@ -863,3 +863,176 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(e).select(
         F.col("p").alias("node"), F.col("d").cast("long").alias("core_degree")
     )
+
+
+# BFS frontier expansion: 4 hops covers this co-purchase graph's
+# diameter from the seed set; each round is one edges-join + one
+# anti-join against the known set, lineage-truncated per round (the
+# cluster.py:102 / pagerank discipline).
+_BFS_HOPS = 4
+
+
+@register(
+    "g_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 2 * l_suppkey AS a, 2 * l_partkey + 1 AS b
+      FROM lineitem
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b, a FROM pairs
+    ), seeds AS (
+      SELECT DISTINCT src AS node FROM edges WHERE src % 20 = 0
+    ), walk(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < {_BFS_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(min(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+    doc="Multi-source BFS: hop distance from a seed set (suppliers "
+    "with suppkey % 10 == 0) over the bipartite part<->supplier "
+    "co-purchase graph, bounded at 4 hops. The distributed frontier "
+    "pattern: each round joins the current frontier to the edge "
+    "list (one shuffle on the join key), anti-joins away nodes "
+    "already labeled (min-distance semantics for free: a node is "
+    "labeled the first round it appears), and lineage-truncates "
+    "with a lazy localCheckpoint so the analyzer only ever sees one "
+    "round's plan. Frontier size is bounded by the node set, never "
+    "the edge set, so per-round cost is one edge-list hash join at "
+    "any scale. Oracle: DuckDB recursive CTE over the identical "
+    "edge construction, min(d) per reached node.",
+    tags=("graph", "bfs", "iterative"),
+)
+def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (2 * F.col("l_suppkey")).alias("a"),
+        (2 * F.col("l_partkey") + 1).alias("b"),
+    ).distinct()
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        edges.filter(F.col("src") % 20 == 0)
+        .select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(0).alias("d"))
+    )
+    dist = seeds.localCheckpoint(eager=False)
+    frontier = dist
+    for hop in range(1, _BFS_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(hop).alias("d")
+        ).localCheckpoint(eager=False)
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("d").cast("long").alias("dist"),
+    )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        """
+        pairs AS (
+          SELECT DISTINCT 2 * l_suppkey AS a, 2 * l_partkey + 1 AS b
+          FROM lineitem
+        ), edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b, a FROM pairs
+        ), l0 AS (
+          SELECT DISTINCT src AS node, src AS label FROM edges
+        )"""
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(f"""
+        c{i} AS (
+          SELECT e.dst AS v, l.label, count(*) AS cnt
+          FROM edges e JOIN l{i - 1} l ON l.node = e.src
+          GROUP BY e.dst, l.label
+        ), l{i} AS (
+          SELECT v AS node, label FROM (
+            SELECT v, label,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM c{i}) WHERE rn = 1
+        )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(label AS BIGINT) AS label
+        FROM l{_LPA_ROUNDS}
+        """
+    )
+
+
+@register(
+    "g_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Community detection by synchronous label propagation, "
+    f"{_LPA_ROUNDS} fixed rounds over the bipartite part<->supplier "
+    "graph: every node starts as its own label; each round it "
+    "adopts the most frequent label among its neighbors "
+    "(deterministic count-DESC-then-min-label tie-break, making a "
+    "famously order-sensitive algorithm hash-verifiable "
+    "cross-engine). One round = one edge-list hash join to the "
+    "current labels + one (node,label) count + one per-node top-1 "
+    "window — all shuffles keyed on node ids, the distributed LPA "
+    "step; rounds are lineage-truncated with lazy localCheckpoints "
+    "(the pagerank discipline) so plan depth stays constant. "
+    "Fixed rounds = the bounded-iteration posture: production LPA "
+    "runs a small constant round budget rather than chasing an "
+    "unstable fixpoint.",
+    tags=("graph", "community", "lpa", "iterative"),
+)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (2 * F.col("l_suppkey")).alias("a"),
+        (2 * F.col("l_partkey") + 1).alias("b"),
+    ).distinct()
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        )
+    )
+    w = W.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("v"), "label"
+        )
+        cnt = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )

@@ -1092,3 +1092,71 @@ def a_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_within_2pct"
         ),
     )
+
+
+@register(
+    "a_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    ), clipped AS (
+      SELECT l.l_returnflag, c.p05, c.p95, l.l_extendedprice AS x,
+             CASE WHEN l.l_extendedprice < c.p05 THEN c.p05
+                  WHEN l.l_extendedprice > c.p95 THEN c.p95
+                  ELSE l.l_extendedprice END AS xw
+      FROM lineitem l JOIN cuts c USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           round(any_value(p05), 6) AS p05,
+           round(any_value(p95), 6) AS p95,
+           CAST(sum(CASE WHEN x < p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN x > p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_raw,
+           round(CAST(sum(CAST(xw AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_winsorized
+    FROM clipped GROUP BY l_returnflag
+    """,
+    doc="Winsorization: clip each group's values at its own exact "
+    "p05/p95 (percentile semantics match DuckDB quantile_cont, the "
+    "a_group_quantiles contract) and report clip counts plus the "
+    "before/after means — the standard outlier-robust feature prep "
+    "before fitting. Two shuffles on the group key (cut computation, "
+    "then re-agg after the broadcast-sized cuts join back); means "
+    "accumulate through decimal so they are partitioning-"
+    "independent. At 100 TB swap the exact percentile for "
+    "approx_percentile (constant sketch state) — identical shape.",
+    tags=("A1", "winsorize", "robust"),
+)
+def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    x = F.col("l_extendedprice")
+    xw = (
+        F.when(x < F.col("p05"), F.col("p05"))
+        .when(x > F.col("p95"), F.col("p95"))
+        .otherwise(x)
+    )
+    clipped = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(cuts), "l_returnflag"
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.round(F.any_value("p05"), 6).alias("p05"),
+        F.round(F.any_value("p95"), 6).alias("p95"),
+        F.sum((x < F.col("p05")).cast("long")).alias("n_clipped_low"),
+        F.sum((x > F.col("p95")).cast("long")).alias("n_clipped_high"),
+        F.round(F.sum(x.cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_raw"
+        ),
+        F.round(
+            F.sum(xw.cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_winsorized"),
+    )

@@ -329,3 +329,94 @@ def ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("regular"))
     )
     return s.withColumn("segment", seg)
+
+
+@register(
+    "ts_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ), obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), joined AS (
+      SELECT g.user_id, g.hour, o.value AS obs_value
+      FROM grid g
+      LEFT JOIN (SELECT * FROM obs WHERE rn = 1) o
+        ON o.user_id = g.user_id AND o.hour = g.hour
+    )
+    SELECT user_id, hour,
+           last_value(obs_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CASE WHEN obs_value IS NULL THEN 1 ELSE 0 END AS carried
+    FROM joined
+    """,
+    doc="Time-series resample to a regular hourly grid with "
+    "forward-fill: per user, generate every hour between the user's "
+    "first and last event (sequence + explode — the grid is built "
+    "distributed, sized by each key's own span, never collected), "
+    "take the last event value within each hour (deterministic "
+    "ts-then-event_id tie-break), and carry it forward across empty "
+    "hours with last(ignorenulls) over an ordered per-user window. "
+    "The gap-fill canonical for feeding fixed-step models from "
+    "irregular event streams. One shuffle on user_id serves the "
+    "bounds agg, the hour dedup, the grid join, and the fill window "
+    "(same key throughout); per-key grid size is span-bounded, so "
+    "total rows stay ~ users x span regardless of event volume.",
+    tags=("temporal", "resample", "ffill"),
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "hour").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    obs = (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", F.col("value").alias("obs_value"))
+    )
+    fill_w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("obs_value", ignorenulls=True).over(fill_w).alias("value"),
+            F.when(F.col("obs_value").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("carried"),
+        )
+    )

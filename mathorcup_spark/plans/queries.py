@@ -9,6 +9,7 @@ from ..ml import graph_embed, pipelines  # noqa: F401
 from ..operators import (  # noqa: F401
     analytics,
     graph,
+    lake,
     metrics,
     relational,
     sampling,
@@ -26,5 +27,5 @@ _ALL = [
     cars, cluster, corpus,
     relational, scalar, metrics, sampling, graph, temporal, analytics,
     tpch_more, text, dedup, similarity, multimodal, windows, pipelines,
-    graph_embed, suites, digest,
+    graph_embed, lake, suites, digest,
 ]

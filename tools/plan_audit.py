@@ -209,6 +209,21 @@ EXPECT: dict[str, dict] = {
     # their own shape: one degree agg + two semi-joins per round);
     # the final plan is the degree aggregate over the converged core
     "g_kcore": {},
+    # CDC diff: one full-outer hash join on the business key
+    "lake_snapshot_diff": {},
+    # SCD2: one left join + explode — single pass over the dimension
+    "lake_scd2_merge": {},
+    # grid join + fill window share the user_id shuffle key
+    "ts_resample_ffill": {},
+    # frontier rounds are lineage-truncated localCheckpoints (each
+    # round: one edges hash join + one anti-join); final plan unions
+    # the per-hop checkpointed label sets
+    "g_bfs_distance": {},
+    # top-40 ranking window is global BUT post-aggregation over the
+    # bounded pair domain (alphabet^2 rows) — O(1) at any corpus size
+    "t_bpe_pair_counts": {"single_partition_ok": True},
+    # narrow map-only array HOFs: no shuffle at all
+    "sim_quantize_int8": {},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
