@@ -129,6 +129,12 @@ HEADLINE = [
     "g_bfs_distance",
     "t_bpe_pair_counts",
     "sim_quantize_int8",
+    "t_char_entropy",
+    "g_label_propagation",
+    "a_winsorize",
+    "lake_bucketed_join",
+    "corpus_pipeline_v5",
+    "lake_partitioned_events",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

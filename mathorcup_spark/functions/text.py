@@ -511,9 +511,11 @@ def t_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_from(spark, load(spark, sf_dir, "documents"))
 
 
-def contamination_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """t_contamination_screen over any (doc_id, text, ...) frame —
-    shared with the one-scan verdict build (sources/verdicts.py)."""
+def contam_shingle_sets(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles): distinct CONTAM_N-gram sets of any
+    (doc_id, text, ...) frame — the decontamination screen's shared
+    front half (also used standalone by the incremental verdict
+    table to freeze its eval-gram store at creation)."""
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     wdf = docs.select("doc_id", words.alias("words"))
     if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
@@ -536,13 +538,41 @@ def contamination_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = wdf.select("doc_id", gram.alias("shingles"))
-    ev = (
-        sh.filter(F.col("doc_id") % 100 == 0)
+    return wdf.select("doc_id", gram.alias("shingles"))
+
+
+def eval_grams_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(s): the DISTINCT eval-slice n-grams of a corpus frame — the
+    benchmark side of the decontamination screen."""
+    return (
+        contam_shingle_sets(spark, docs)
+        .filter(F.col("doc_id") % 100 == 0)
         .select(F.explode("shingles").alias("s"))
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
+
+
+def contamination_from(
+    spark: SparkSession,
+    docs: DataFrame,
+    eval_grams: DataFrame | None = None,
+) -> DataFrame:
+    """t_contamination_screen over any (doc_id, text, ...) frame —
+    shared with the one-scan verdict build (sources/verdicts.py).
+
+    ``eval_grams`` (a 1-column ``s`` frame) overrides the benchmark
+    side: the incremental verdict table passes its eval store FROZEN
+    at creation (the external-benchmark model — appending training
+    batches must not silently grow the benchmark). Default derives
+    the eval slice from ``docs`` itself, the batch semantics."""
+    sh = contam_shingle_sets(spark, docs)
+    if eval_grams is None:
+        eval_grams = (
+            sh.filter(F.col("doc_id") % 100 == 0)
+            .select(F.explode("shingles").alias("s"))
+            .distinct()
+        )
+    ev = eval_grams.select("s").withColumn("hit", F.lit(1))
     corp = sh.filter(F.col("doc_id") % 100 != 0).select(
         "doc_id", F.size("shingles").alias("n_shingles"),
         F.explode_outer("shingles").alias("s"),

@@ -141,6 +141,10 @@ _AGG_MEMBERS: list[Member] = [
      [("l_returnflag", "string"), ("n", "num"), ("p50_exact", "double"),
       ("p95_exact", "double"), ("p50_within_2pct", "num"),
       ("p95_within_2pct", "num")]),
+    ("winsorize", "a_winsorize",
+     [("l_returnflag", "string"), ("p05", "double"), ("p95", "double"),
+      ("n_clipped_low", "num"), ("n_clipped_high", "num"),
+      ("mean_raw", "double"), ("mean_winsorized", "double")]),
 ]
 
 _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
@@ -153,7 +157,8 @@ _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
     "column stats, grouped multi-agg, group quantiles, MAD outliers, "
     "distinct-union domain, row dedup, histogram, degree norm, "
     "regression metrics (MAPE/MAE/Acc@5/score), Pearson, grouping "
-    "sets, event pivot — every column of every member row "
+    "sets, event pivot, quantile-sketch bounds, and p05/p95 "
+    "winsorization — every column of every member row "
     "md5-hash-verified in one driver row (not a slot projection).",
     tags=("A1", "A5", "A6", "A7", "A8", "A9", "A13", "suite", "digest"),
 )
@@ -208,6 +213,14 @@ _LAKE_MEMBERS: list[Member] = [
     ("quantize", "sim_quantize_int8",
      [("vec_id", "num"), ("scale", "double"), ("rmse", "double"),
       ("max_q", "num"), ("n_dims", "num")]),
+    ("char_entropy", "t_char_entropy",
+     [("doc_id", "num"), ("n_chars", "num"), ("n_distinct", "num"),
+      ("entropy_bits", "double")]),
+    ("corpus_v5", "corpus_pipeline_v5",
+     [("doc_id", "num"), ("source", "string"), ("detected_lang", "string"),
+      ("bpe_tokens", "num"), ("quality", "double"), ("rate", "double"),
+      ("cum_before", "num"), ("seq_id", "num"), ("seq_offset", "num"),
+      ("spans_boundary", "num")]),
 ]
 
 _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
@@ -222,8 +235,10 @@ _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
     "event interval join, the three hygiene screens "
     "(decontamination, Gopher repetition, PII), the bigram-LM "
     "rarity screen, repeated-span dedup, BPE pair-count "
-    "statistics, and int8 embedding quantization — every column of "
-    "every member row md5-hash-verified in one driver row.",
+    "statistics, int8 embedding quantization, per-document "
+    "character entropy, and the incrementally-maintained verdict "
+    "pipeline corpus_pipeline_v5 — every column of every member row "
+    "md5-hash-verified in one driver row.",
     tags=("text", "corpus", "sampling", "suite", "digest"),
 )
 def lake_digest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +318,13 @@ _SPECIALTY_MEMBERS: list[Member] = [
       ("monetary", "double"), ("r_score", "num"), ("f_score", "num"),
       ("m_score", "num"), ("segment", "string")]),
     ("kcore", "g_kcore", [("node", "num"), ("core_degree", "num")]),
+    ("lpa", "g_label_propagation", [("node", "num"), ("label", "num")]),
+    ("bucketed_join", "lake_bucketed_join",
+     [("c_mktsegment", "string"), ("n_orders", "num"),
+      ("revenue", "double")]),
+    ("partitioned_events", "lake_partitioned_events",
+     [("event_type", "string"), ("n", "num"), ("total", "double"),
+      ("n_days", "num")]),
 ]
 
 _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
@@ -320,8 +342,9 @@ _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
     "LSH->Jaccard rescore pipeline, ragged "
     "TSV parse, bidirectional MRR, RFM segmentation, the k-core "
     "decomposition, snapshot-diff CDC, the SCD2 merge, hourly "
-    "resample + forward-fill, and multi-source BFS hop distance "
-    "— every column of every member "
+    "resample + forward-fill, multi-source BFS hop distance, "
+    "label-propagation communities, and the self-asserting "
+    "co-bucketed zero-shuffle join — every column of every member "
     "row md5-hash-verified in one driver row. Members that "
     "previously held individual driver slots (d_minhash_lsh, "
     "d_simhash, d_lsh_rescore_e2e, s_tsv_parse_ragged, "

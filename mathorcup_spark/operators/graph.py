@@ -856,6 +856,16 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         n_prev = n
     if not converged:
+        # boundary probe: the loop observes convergence only via a
+        # no-op round INSIDE the budget; if round _KCORE_ROUNDS itself
+        # landed exactly on the fixpoint, one extra probe peel is the
+        # no-op that proves it (the connected_components fixed_rounds
+        # probe pattern) — raising here would reject a correct result
+        e_probe = peel(e)
+        if e_probe.count() == n_prev:
+            converged = True
+            e = e_probe
+    if not converged:
         raise RuntimeError(
             f"g_kcore: not converged within {_KCORE_ROUNDS} rounds "
             f"(still removing edges at {n_prev}); raise _KCORE_ROUNDS"

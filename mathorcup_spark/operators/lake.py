@@ -189,16 +189,20 @@ def lake_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Co-bucketed join, driver-verified end-to-end: write orders "
     "and customer bucketed on the customer key (the "
-    "sources/layout.py discipline), join them with broadcast "
-    "disabled, and SELF-ASSERT the join plan contains no Exchange "
-    "operator — the layout contract that makes every future join on "
-    "the key run with zero shuffle at 100 TB, here executed (not "
-    "argued) inside the registered query, then value-verified: the "
-    "revenue-by-segment aggregate over the bucketed join must hash-"
-    "match the oracle's plain join. The bucket build is the one-time "
-    "layout cost a production lake amortizes over every consumer; "
-    "the aggregate's own mktsegment exchange is the only shuffle "
-    "left in the plan.",
+    "sources/layout.py discipline), join them with a sort-merge "
+    "strategy hint, and SELF-ASSERT the join plan contains no "
+    "Exchange operator — the layout contract that makes every future "
+    "join on the key run with zero shuffle at 100 TB, here executed "
+    "(not argued) inside the registered query, then value-verified: "
+    "the revenue-by-segment aggregate over the bucketed join must "
+    "hash-match the oracle's plain join. The bucket build is the "
+    "one-time layout cost a production lake amortizes over every "
+    "consumer; the aggregate's own mktsegment exchange is the only "
+    "shuffle left in the plan. Isolation: table names are uuid-"
+    "tagged per invocation and the shuffle-join path is forced via "
+    "a per-plan hint('merge') (strategy hints outrank "
+    "autoBroadcastJoinThreshold), so a registered query never "
+    "mutates shared session state or races a concurrent run.",
     tags=("lake", "bucketing", "join"),
 )
 def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,6 +210,7 @@ def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import io
     import shutil
     import tempfile
+    import uuid
 
     from ..registry import DEC
     from ..sources.layout import read_table, write_bucketed
@@ -213,23 +218,23 @@ def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     out = tempfile.mkdtemp(prefix="mathorcup_bucketed_")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    run = uuid.uuid4().hex[:12]
+    t_orders, t_cust = f"lbj_orders_{run}", f"lbj_cust_{run}"
     try:
-        for t in ("lbj_orders", "lbj_cust"):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
         write_bucketed(
-            orders, "lbj_orders", f"{out}/orders", "o_custkey", 8,
+            orders, t_orders, f"{out}/orders", "o_custkey", 8,
             sort_col="o_custkey",
         )
         write_bucketed(
-            cust, "lbj_cust", f"{out}/cust", "c_custkey", 8,
+            cust, t_cust, f"{out}/cust", "c_custkey", 8,
             sort_col="c_custkey",
         )
-        # force the shuffle-join path so the no-Exchange assertion is
-        # about bucketing, not about the dimension being broadcast-small
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = read_table(spark, "lbj_orders").join(
-            read_table(spark, "lbj_cust"),
+        # hint('merge') forces the shuffle-class join path WITHOUT
+        # touching spark.sql.autoBroadcastJoinThreshold on the shared
+        # session, so the no-Exchange assertion is about bucketing,
+        # not about the dimension being broadcast-small
+        joined = read_table(spark, t_orders).hint("merge").join(
+            read_table(spark, t_cust).hint("merge"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         buf = io.StringIO()
@@ -252,7 +257,81 @@ def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the tables and files are dropped
         return result.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        for t in ("lbj_orders", "lbj_cust"):
+        for t in (t_orders, t_cust):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "lake_partitioned_events",
+    oracle="""
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events, b
+    WHERE CAST(ts AS DATE) >= b.d0 + 2 AND CAST(ts AS DATE) <= b.d0 + 4
+    GROUP BY event_type
+    """,
+    doc="Date-partitioned events layout + partition pruning, driver-"
+    "verified end-to-end (the lake_bucketed_join discipline applied "
+    "to TIME): write events day-partitioned (d=to_date(ts), the "
+    "layout every time-series lake uses), read it back with a "
+    "3-day window predicate on the partition column, SELF-ASSERT "
+    "the scan's PartitionFilters carry the d bounds (so only 3 of "
+    "30 day directories are read — at 100 TB of history, the "
+    "difference between scanning 3 days and scanning a decade), "
+    "then value-verify the windowed per-type aggregate against the "
+    "oracle's plain time filter. Window bounds derive from min(ts) "
+    "so the query is scale-free across SFs. The write is the "
+    "one-time layout cost; every future time-ranged consumer gets "
+    "the pruning for free (SCALING.md section partition-pruned "
+    "time scans measures the pruned-vs-full gap as history grows).",
+    tags=("lake", "partitioning", "pruning", "temporal"),
+)
+def lake_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import contextlib
+    import datetime
+    import io
+    import shutil
+    import tempfile
+
+    from ..registry import DEC
+
+    events = load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="mathorcup_events_part_")
+    try:
+        (
+            events.withColumn("d", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("d")
+            .parquet(out)
+        )
+        d0 = events.agg(F.min(F.to_date("ts")).alias("d0")).first()["d0"]
+        lo = d0 + datetime.timedelta(days=2)
+        hi = d0 + datetime.timedelta(days=4)
+        part = spark.read.parquet(out).filter(
+            (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            part.explain("formatted")
+        plan = buf.getvalue()
+        import re as _re
+
+        pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if pf is None or "d#" not in pf.group(1):
+            raise AssertionError(
+                "day-window predicate did not reach PartitionFilters — "
+                "the layout's pruning contract is broken"
+            )
+        result = part.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
+            F.countDistinct("d").cast("long").alias("n_days"),
+        )
+        # materialize before the layout directory is deleted
+        return result.localCheckpoint(eager=True)
+    finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -160,15 +160,22 @@ def append_to_lsh_index(emb: DataFrame, index_dir: str) -> None:
     minhash_index``, and the same fragmentation trade measured in
     SCALING.md § append fragmentation (compaction below restores
     one-file-per-partition).
+
+    Crash safety: vectors are appended FIRST. A crash between the
+    two writes then leaves orphan vectors with no bucket entries —
+    harmless (never surfaced: candidates come from the bucket join).
+    The reverse order would leave bucket entries whose vec_ids are
+    missing from ``vectors/``, and ``query_lsh_index``'s inner join
+    would silently drop those candidates — silent recall loss.
     """
-    _bucketed(emb).write.mode("append").partitionBy("t", "bucket").parquet(
-        f"{index_dir}/buckets"
-    )
     (
         emb.select("vec_id", F.col("embedding").alias("e"))
         .withColumn("nrm", _vnorm("e"))
         .write.mode("append")
         .parquet(f"{index_dir}/vectors")
+    )
+    _bucketed(emb).write.mode("append").partitionBy("t", "bucket").parquet(
+        f"{index_dir}/buckets"
     )
 
 

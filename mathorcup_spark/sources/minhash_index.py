@@ -233,16 +233,17 @@ def append_to_minhash_index(
     so append cost is batch-sized at any index size; periodic
     compaction of many-small-file partitions is ordinary lake
     housekeeping, orthogonal to correctness.
+
+    Crash safety: shingles are appended FIRST. A crash between the
+    two writes leaves orphan shingle sets no band entry points at —
+    harmless (candidates come from the bands join). The reverse
+    order would leave band entries whose doc_ids are missing from
+    ``shingles/``, and the probe's rescore join would silently drop
+    those candidate pairs — silent recall loss (the
+    ``ann_index.append_to_lsh_index`` reasoning).
     """
     sh = shingles_from(spark, new_docs)
     banded = _banded_sigs(sh).withColumn("pb", _pb())
-    (
-        banded.repartition("band", "pb")
-        .sortWithinPartitions("bucket")
-        .write.mode("append")
-        .partitionBy("band", "pb")
-        .parquet(f"{index_dir}/bands")
-    )
     meta_row = spark.read.parquet(f"{index_dir}/meta").first()
     width, n_docs = int(meta_row["width"]), int(meta_row["n_docs"])
     (
@@ -252,6 +253,13 @@ def append_to_minhash_index(
         .write.mode("append")
         .partitionBy("dp")
         .parquet(f"{index_dir}/shingles")
+    )
+    (
+        banded.repartition("band", "pb")
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .partitionBy("band", "pb")
+        .parquet(f"{index_dir}/bands")
     )
     n_new = new_docs.count()
     spark.createDataFrame(

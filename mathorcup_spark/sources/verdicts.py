@@ -84,3 +84,166 @@ def write_verdict_table(
 
 def read_verdict_table(spark: SparkSession, verdict_dir: str) -> DataFrame:
     return spark.read.parquet(verdict_dir)
+
+
+# --- incremental maintenance (round 6: corpus v5) --------------------------
+#
+# A production lake APPENDS; rebuilding the whole verdict table per
+# arriving batch re-reads every corpus byte ever ingested. The
+# incremental layout makes per-batch cost a function of the BATCH:
+#
+#   rows/    — verdict rows (build_verdicts schema), appended per batch
+#   hashes/  — every DISTINCT normalized-content hash ever seen
+#              (survivor or not: an early low-quality doc still blocks
+#              later same-content docs, exactly like the corpus-wide
+#              survivor window), hp=first-hex-char partitioned and
+#              h-sorted within files for row-group pruning
+#   eval/    — the benchmark n-gram store, FROZEN at creation (the
+#              external-benchmark model: appending training batches
+#              must never silently grow the benchmark; the batch
+#              pipelines corpus_pipeline_v3/v4 derive eval from the
+#              full corpus instead — both contracts are registered)
+#
+# The hash probe is the minhash_index discipline applied to exact
+# dedup: collect the batch's distinct hashes (batch-sized), push them
+# as an IN-list filter into the hashes/ scan (parquet row-group
+# min/max pruning on the sorted h), broadcast the (small) matching
+# set, anti-join. Per-batch cost is bounded by batch size × row-group
+# fan-in, NOT by corpus size — measured in tools/verdict_append_soak.py
+# / SCALING.md § incremental verdict maintenance.
+#
+# Append-order contract: batches must arrive in ascending doc_id
+# ranges (the ingest pattern everywhere else in this repo). The
+# maintained table then equals a one-shot ``build_verdicts_frozen``
+# over the full corpus bit-for-bit — corpus_pipeline_v5 self-asserts
+# exactly that before consuming.
+
+HASH_PARTS_COL = "hp"
+
+
+def build_verdicts_frozen(
+    spark: SparkSession, docs: DataFrame, eval_grams: DataFrame
+) -> DataFrame:
+    """``build_verdicts`` with the decontamination benchmark supplied
+    explicitly instead of derived from ``docs`` — the one-shot face
+    of the incremental table (used for the rebuild-equality check)."""
+    from ..functions.corpus import prep_from
+    from ..functions.text import contamination_from, pii_from, repetition_from
+
+    base = docs.select("doc_id", "source", "text").localCheckpoint(eager=True)
+    prep = prep_from(base)
+    contam = contamination_from(spark, base, eval_grams=eval_grams).select(
+        "doc_id", "contamination_ratio"
+    )
+    rep = repetition_from(base).select("doc_id", "repetitive")
+    pii = pii_from(base).select("doc_id", "has_pii_signal")
+    return (
+        prep.join(contam, "doc_id").join(rep, "doc_id").join(pii, "doc_id")
+    )
+
+
+def create_verdict_table(
+    spark: SparkSession, docs: DataFrame, out_dir: str
+) -> None:
+    """Initialize the incremental verdict table over the initial
+    corpus: rows + every-seen-hash store + frozen eval-gram store."""
+    from ..functions.corpus import prep_feat_from
+    from ..functions.text import eval_grams_from
+
+    base = docs.select("doc_id", "source", "text").localCheckpoint(eager=True)
+    eval_grams = eval_grams_from(spark, base)
+    eval_grams.write.mode("overwrite").parquet(f"{out_dir}/eval")
+    _append_hashes(
+        prep_feat_from(base).select("doc_id", "h"), out_dir, first=True
+    )
+    (
+        build_verdicts_frozen(
+            spark, base, spark.read.parquet(f"{out_dir}/eval")
+        )
+        .repartitionByRange(VERDICT_PARTS, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/rows")
+    )
+
+
+def _append_hashes(ids_h: DataFrame, out_dir: str, first: bool = False) -> None:
+    """Append first-seen (h) rows: hp-partitioned, h-sorted within
+    files so the probe's IN-list gets parquet min/max row-group
+    pruning. ``ids_h`` must already be reduced to first-seen-per-h."""
+    (
+        ids_h.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn(HASH_PARTS_COL, F.substring("h", 1, 1))
+        .repartition(HASH_PARTS_COL)
+        .sortWithinPartitions("h")
+        .write.mode("overwrite" if first else "append")
+        .partitionBy(HASH_PARTS_COL)
+        .parquet(f"{out_dir}/hashes")
+    )
+
+
+def append_to_verdict_table(
+    spark: SparkSession, out_dir: str, new_docs: DataFrame
+) -> None:
+    """Absorb an id-ordered batch: per-doc screens run on the BATCH
+    only, exact-dedup consults the persisted hash store via a pruned
+    probe, contamination scores against the FROZEN eval store."""
+    from pyspark.sql import Window as W
+
+    from ..functions.corpus import MIN_QUALITY, MIN_WORDS, prep_feat_from
+    from ..functions.text import contamination_from, pii_from, repetition_from
+
+    base = (
+        new_docs.select("doc_id", "source", "text").localCheckpoint(eager=True)
+    )
+    feat = prep_feat_from(base).localCheckpoint(eager=False)
+    # within-batch survivor window (first doc_id per content hash)
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    batch_first = feat.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    # probe the persisted hash store: batch-sized IN-list pushed into
+    # the hp-partitioned, h-sorted layout (partition + row-group
+    # pruning), matches broadcast back for the anti-join
+    batch_hashes = [r["h"] for r in batch_first.select("h").distinct().collect()]
+    seen = (
+        spark.read.parquet(f"{out_dir}/hashes")
+        .filter(F.col("h").isin(batch_hashes))
+        .select("h")
+    )
+    survivors = batch_first.join(F.broadcast(seen), "h", "left_anti")
+    prep = survivors.filter(
+        (F.col("quality") >= MIN_QUALITY) & (F.col("n_words") >= MIN_WORDS)
+    ).select("doc_id", "source", "detected_lang", "n_words", "bpe_tokens",
+             "quality")
+    eval_grams = spark.read.parquet(f"{out_dir}/eval")
+    contam = contamination_from(spark, base, eval_grams=eval_grams).select(
+        "doc_id", "contamination_ratio"
+    )
+    rep = repetition_from(base).select("doc_id", "repetitive")
+    pii = pii_from(base).select("doc_id", "has_pii_signal")
+    rows = (
+        prep.join(contam, "doc_id").join(rep, "doc_id").join(pii, "doc_id")
+    )
+    # rows first, then hashes: a crash in between leaves the batch's
+    # hashes unrecorded, so a re-run re-appends cleanly after the
+    # operator dedups rows/ by doc_id range — while the reverse order
+    # would silently drop the batch's rows forever (the
+    # ann_index/minhash_index append-order reasoning)
+    (
+        rows.repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .parquet(f"{out_dir}/rows")
+    )
+    # only hashes NOT already in the store (first-seen contract);
+    # batch_first already reduced the batch to one row per h
+    _append_hashes(
+        batch_first.join(F.broadcast(seen), "h", "left_anti").select(
+            "doc_id", "h"
+        ),
+        out_dir,
+    )
+
+
+def read_incremental_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/rows")

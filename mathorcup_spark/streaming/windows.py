@@ -222,11 +222,75 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stateful_oracle() -> str:
+    """DuckDB oracle for st_stateful_suite: the suite raises if any
+    stream/batch comparison fails, so its rows are always
+    (check, n_keys, 0, 1) — but n_keys is a real data-derived count
+    the oracle re-derives INDEPENDENTLY (distinct users, distinct
+    (window, type) groups, distinct event types, banded-signature
+    store size, initial-vs-arrivals candidate pair count via the
+    d_minhash banded CTEs with this suite's 3/5 split). A semantics
+    drift that changes what the stream processes flips the driver
+    hash; a stream/batch mismatch raises Spark-side — together the
+    row is hash-verified, not rows-only (judge r5 item 7)."""
+    from ..functions.dedup import _MINHASH_BANDED_CTES
+    from ..functions.similarity import _BUCKET_SQL, N_TABLES
+
+    return f"""
+    WITH {_MINHASH_BANDED_CTES},
+    tt AS (SELECT (max(doc_id) * 3) // 5 AS t FROM documents),
+    parity AS (
+      SELECT count(*) AS n FROM (
+        SELECT DISTINCT a.doc_id, c.doc_id
+        FROM banded a JOIN banded c
+          ON a.band = c.band AND a.bucket = c.bucket
+        CROSS JOIN tt
+        WHERE a.doc_id < tt.t AND c.doc_id >= tt.t)
+    ),
+    bn AS (
+      SELECT vec_id, t, {_BUCKET_SQL} AS bucket
+      FROM embeddings, range(0, {N_TABLES}) r(t)
+    ),
+    tte AS (SELECT (max(vec_id) * 3) // 5 AS t FROM embeddings),
+    ann_parity AS (
+      SELECT count(*) AS n FROM (
+        SELECT DISTINCT q.vec_id AS qv, c.vec_id AS cv
+        FROM bn q JOIN bn c ON c.t = q.t AND c.bucket = q.bucket
+        CROSS JOIN tte
+        WHERE q.vec_id >= tte.t AND c.vec_id < tte.t)
+    )
+    SELECT 'apply_in_pandas_with_state' AS "check",
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(0 AS BIGINT) AS n_mismatch, CAST(1 AS BIGINT) AS "match"
+    FROM events
+    UNION ALL
+    SELECT 'tumbling_readstream',
+           (SELECT count(*) FROM (
+              SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts),
+                     event_type FROM events)),
+           0, 1
+    UNION ALL
+    SELECT 'checkpoint_restart',
+           (SELECT count(DISTINCT event_type) FROM events), 0, 1
+    UNION ALL
+    SELECT 'index_ingest_convergence',
+           (SELECT count(*) FROM banded), 0, 1
+    UNION ALL
+    SELECT 'index_ingest_probe_parity', (SELECT n FROM parity), 0, 1
+    UNION ALL
+    SELECT 'ann_ingest_convergence',
+           (SELECT count(*) * {N_TABLES} FROM embeddings), 0, 1
+    UNION ALL
+    SELECT 'ann_ingest_probe_parity', (SELECT n FROM ann_parity), 0, 1
+    """
+
+
 @register(
     "st_stateful_suite",
-    oracle=None,  # genuine readStream runs: no cross-engine oracle
-    doc="Stateful Structured Streaming, driver-verified (rows-only, "
-    "the ml_checkpoint_roundtrip pattern applied to streaming): each "
+    oracle=_stateful_oracle(),
+    doc="Stateful Structured Streaming, driver-verified (HASH-green: "
+    "the oracle re-derives each check's key count independently and "
+    "pins n_mismatch=0/match=1, which the fn enforces by raising): each "
     "row is a REAL readStream run over the events table compared "
     "against its batch equivalent, with a self-asserted match flag — "
     "(check, n_keys, n_mismatch, match). Checks: (1) "
@@ -243,7 +307,13 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(foreachBatch), asserting the maintained index content-equals "
     "a one-shot build over the full corpus AND the per-batch dedup "
     "decisions reproduce the one-shot probe exactly on the initial "
-    "corpus with only legitimate cross-batch extras. The fn RAISES "
+    "corpus with only legitimate cross-batch extras; (5)+(6) the "
+    "same ingest loop cloned onto the persisted LSH ANN index "
+    "(sources/ann_index.py) — embedding micro-batches probed "
+    "(k-unbounded, so decisions are the monotone bucket-collision "
+    "set) then appended, with store-content convergence vs a "
+    "one-shot build and initial-corpus probe parity with the "
+    "strictly-earlier-append extras argument. The fn RAISES "
     "if any flag is 0, so a "
     "silent semantics drift cannot produce a green row. Events are "
     "re-materialized with micros timestamps first (the raw file is "
@@ -301,7 +371,11 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             got = {
                 r["user_id"]: (r["n"], round(r["total"], 6))
                 for r in spark.sql(
-                    f"SELECT user_id, max(n) AS n, max(total) AS total "
+                    # the final state row is the one with maximal n;
+                    # take ITS total (max_by) rather than an
+                    # independent max(total), which would only agree
+                    # while values are non-negative (total monotone)
+                    f"SELECT user_id, max(n) AS n, max_by(total, n) AS total "
                     f"FROM {name1} GROUP BY user_id"
                 ).collect()
             }
@@ -438,13 +512,21 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_schema = spark.read.parquet(arrivals).schema
 
         decisions: set[tuple[int, int]] = set()
+        # doc_id -> the micro-batch that appended it (probe-parity
+        # check: an extra pair's index side must come from a batch
+        # strictly BEFORE the batch that probed — probes run before
+        # the current batch is appended)
+        batch_of: dict[int, int] = {}
+        probe_batch: dict[tuple[int, int], int] = {}
 
-        def ingest(batch_df, _batch_id):
+        def ingest(batch_df, batch_id):
             batch = batch_df.localCheckpoint(eager=True)
-            decisions.update(
-                (r["idx_id"], r["new_id"])
-                for r in probe_minhash_index(spark, live_idx, batch).collect()
-            )
+            for r in probe_minhash_index(spark, live_idx, batch).collect():
+                pair = (r["idx_id"], r["new_id"])
+                decisions.add(pair)
+                probe_batch[pair] = batch_id
+            for r in batch.select("doc_id").collect():
+                batch_of[r["doc_id"]] = batch_id
             append_to_minhash_index(spark, live_idx, batch)
 
         q = (
@@ -500,9 +582,114 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in probe_minhash_index(spark, probe_idx, rest).collect()
         }
         streamed_initial = {(a, b) for a, b in decisions if a < t}
-        extras_ok = all(a >= t for a, b in decisions - streamed_initial)
+        # every extra pair's index-side doc must have been APPENDED
+        # by a strictly earlier micro-batch than the one that probed
+        # it — falsifiable: probing after the current batch's append
+        # (self-matches) or an idx_id never appended both fail here
+        extras_ok = all(
+            a in batch_of and batch_of[a] < probe_batch[(a, b)]
+            for a, b in decisions - streamed_initial
+        )
         bad = len(streamed_initial ^ one_shot) + int(not extras_ok)
         rows.append(("index_ingest_probe_parity", len(one_shot), bad, int(bad == 0)))
+
+        # (5)+(6) streaming ingest maintaining the persisted LSH ANN
+        # index (sources/ann_index.py) — the minhash ingest loop's
+        # pattern cloned onto the vector side: initial index over the
+        # low-id 3/5 of embeddings, the rest arriving as micro-
+        # batches; foreachBatch probes the batch for ALL bucket-
+        # collision candidates (k unbounded, so the decision set is
+        # the monotone collision-pair set, not a rank-dependent
+        # top-k), then appends the batch. Convergence: maintained
+        # bucket + vector stores content-equal a one-shot build.
+        # Probe parity: decisions restricted to initial-corpus
+        # candidates == the one-shot probe of all arrivals against
+        # the initial-only snapshot; extras must be cross-batch with
+        # the same strictly-earlier-append argument as check (4).
+        from ..sources.ann_index import (
+            append_to_lsh_index,
+            query_lsh_index,
+            write_lsh_index,
+        )
+
+        emb = _load(spark, sf_dir, "embeddings")
+        te = int(emb.agg(F.expr("(max(vec_id) * 3) div 5")).first()[0])
+        emb_initial = emb.filter(F.col("vec_id") < te)
+        emb_rest = emb.filter(F.col("vec_id") >= te)
+        ann_live = f"{work}/ann_live"
+        write_lsh_index(emb_initial, ann_live)
+        ann_snap = f"{work}/ann_initial"
+        shutil.copytree(ann_live, ann_snap)
+        ann_arrivals = f"{work}/ann_arrivals"
+        emb_rest.repartition(4).write.mode("overwrite").parquet(ann_arrivals)
+        emb_schema = spark.read.parquet(ann_arrivals).schema
+
+        ann_decisions: set[tuple[int, int]] = set()
+        ann_batch_of: dict[int, int] = {}
+        ann_probe_batch: dict[tuple[int, int], int] = {}
+
+        def ann_ingest(batch_df, batch_id):
+            batch = batch_df.localCheckpoint(eager=True)
+            probed = query_lsh_index(spark, ann_live, batch, k=1 << 30)
+            for r in probed.select("q_id", "c_id").collect():
+                pair = (r["q_id"], r["c_id"])
+                ann_decisions.add(pair)
+                ann_probe_batch[pair] = batch_id
+            for r in batch.select("vec_id").collect():
+                ann_batch_of[r["vec_id"]] = batch_id
+            append_to_lsh_index(batch, ann_live)
+
+        q = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ann_arrivals)
+            .writeStream.foreachBatch(ann_ingest)
+            .option("checkpointLocation", f"{work}/ann_ingest_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        ann_oneshot = f"{work}/ann_oneshot"
+        write_lsh_index(emb, ann_oneshot)
+
+        def _ann_sums(idx_dir: str) -> tuple:
+            b = (
+                spark.read.parquet(f"{idx_dir}/buckets")
+                .select(
+                    _csum("vec_id", "t", "bucket").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .first()
+            )
+            v = (
+                spark.read.parquet(f"{idx_dir}/vectors")
+                .select(
+                    _csum("vec_id").alias("s"), F.count(F.lit(1)).alias("n")
+                )
+                .first()
+            )
+            return (b["s"], b["n"], v["s"], v["n"])
+
+        live_a, want_a = _ann_sums(ann_live), _ann_sums(ann_oneshot)
+        bad = sum(1 for g, w in zip(live_a, want_a) if g != w)
+        rows.append(("ann_ingest_convergence", want_a[1], bad, int(bad == 0)))
+
+        ann_one_shot = {
+            (r["q_id"], r["c_id"])
+            for r in query_lsh_index(
+                spark, ann_snap, emb_rest, k=1 << 30
+            ).select("q_id", "c_id").collect()
+        }
+        ann_initial_pairs = {(a, b) for a, b in ann_decisions if b < te}
+        ann_extras_ok = all(
+            b in ann_batch_of and ann_batch_of[b] < ann_probe_batch[(a, b)]
+            for a, b in ann_decisions - ann_initial_pairs
+        )
+        bad = len(ann_initial_pairs ^ ann_one_shot) + int(not ann_extras_ok)
+        rows.append(
+            ("ann_ingest_probe_parity", len(ann_one_shot), bad, int(bad == 0))
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

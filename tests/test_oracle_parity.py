@@ -84,8 +84,10 @@ def test_driver_surface():
     """The driver verifies a bounded set of queries (50 in round 1):
     the surface exposed via __spark_entry__ must be exactly the 50
     DRIVER_SURFACE names, registered, deduplicated, leading the full
-    registry ordering, and with exactly the four by-design rows-only
-    queries lacking oracles."""
+    registry ordering, and with exactly the three by-design rows-only
+    queries lacking oracles (st_stateful_suite gained a real oracle
+    in round 6: its key counts are derived independently in DuckDB
+    and its match flags are pinned, so it is hash-verified now)."""
     surface = registry.driver_surface()
     assert len(surface) == 50
     assert tuple(surface) == registry.DRIVER_SURFACE
@@ -96,7 +98,6 @@ def test_driver_surface():
     rows_only = [q for q in registry.DRIVER_SURFACE if q not in ors]
     assert rows_only == [
         "r_seeded_suite",
-        "st_stateful_suite",
         "ml_pipeline_suite",
         "ml_kmeans_ivf_ann",
     ]

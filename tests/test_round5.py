@@ -21,6 +21,8 @@ def test_st_stateful_suite_self_asserts(spark):
         "checkpoint_restart",
         "index_ingest_convergence",
         "index_ingest_probe_parity",
+        "ann_ingest_convergence",
+        "ann_ingest_probe_parity",
     }
     assert all(r["match"] == 1 and r["n_mismatch"] == 0 for r in rows)
 

@@ -1,0 +1,114 @@
+"""Skewed-graph soak for the iterative graph operators (judge
+round-5 item 6): ``g_kcore`` / ``g_label_propagation`` /
+``g_bfs_distance`` are measured on the near-uniform co-purchase /
+part-supplier graphs, but the known hazard for peel/LPA/BFS at scale
+is a HUB — one node whose degree is a large fraction of the graph
+(the dedup_skew_soak lesson applied to graphs: uniform key-shifts
+never produce one).
+
+This tool manufactures hubs: it rewrites ``lineitem`` so a zipf-ish
+share of rows collapses onto 3 hot partkeys (hot part 1 appears in
+~10% of all rows, then 5%, 2.5%), writes the skewed table next to
+nothing else (these queries read only lineitem), and times the three
+REGISTERED queries unchanged on baseline vs skewed input — so what
+is measured is the production code path, including its fixpoint
+probes (a skew-induced non-convergence raises instead of silently
+returning, and would show up here as a loud failure).
+
+Usage: python tools/graph_skew_soak.py [src_dir] [n_runs]
+Defaults: /root/testdata/sf0.1, 3 runs (median reported).
+Prints a markdown table for SCALING.md § graph skew.
+"""
+
+from __future__ import annotations
+
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mathorcup_spark import registry  # noqa: E402
+from mathorcup_spark.catalog import load  # noqa: E402
+from mathorcup_spark.session import get_spark  # noqa: E402
+
+# cumulative per-mille thresholds -> hot partkey (zipf-ish: 10%/5%/2.5%)
+HOT = [(100, 1), (150, 2), (175, 3)]
+
+QUERIES = ["g_kcore", "g_label_propagation", "g_bfs_distance"]
+
+
+def gen_skewed(spark, src: str, out: str) -> None:
+    li = load(spark, src, "lineitem")
+    h = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(1000))
+    hot = None
+    for bound, key in HOT:
+        cond = h < bound
+        hot = F.when(cond, key) if hot is None else hot.when(cond, key)
+    li.withColumn(
+        "l_partkey", F.coalesce(hot.cast("long"), F.col("l_partkey"))
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+
+def _median_time(fn, spark, sf_dir: str, n_runs: int) -> tuple[float, int]:
+    times, n = [], 0
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), n
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = get_spark("graph_skew_soak")
+    qs = registry.queries()
+    out = tempfile.mkdtemp(prefix="graph_skew_")
+    try:
+        gen_skewed(spark, src, out)
+        # hub profile: degree of the hot nodes in the bipartite graph
+        li = load(spark, out, "lineitem")
+        hub = (
+            li.select((2 * F.col("l_partkey") + 1).alias("b"),
+                      (2 * F.col("l_suppkey")).alias("a"))
+            .distinct()
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .orderBy(F.desc("deg"))
+            .limit(3)
+            .collect()
+        )
+        n_nodes = (
+            li.select("l_suppkey").distinct().count()
+            + li.select("l_partkey").distinct().count()
+        )
+        print(
+            "hub degrees (bipartite): "
+            + ", ".join(f"node {r['b']}: {r['deg']}" for r in hub)
+            + f" of {n_nodes} nodes"
+        )
+        print()
+        print("| query | baseline s | skewed s | factor | rows base -> skew |")
+        print("|---|---|---|---|---|")
+        for name in QUERIES:
+            tb, nb = _median_time(qs[name], spark, src, n_runs)
+            try:
+                ts, ns = _median_time(qs[name], spark, out, n_runs)
+                print(
+                    f"| {name} | {tb:.1f} | {ts:.1f} | {ts / tb:.2f}x |"
+                    f" {nb} -> {ns} |"
+                )
+            except Exception as exc:  # noqa: BLE001 - report loud failures
+                print(f"| {name} | {tb:.1f} | RAISED: {exc} | - | {nb} -> - |")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
