@@ -135,6 +135,12 @@ HEADLINE = [
     "lake_bucketed_join",
     "corpus_pipeline_v5",
     "lake_partitioned_events",
+    "t_quality_gopher_rules",
+    "ev_markov_attribution",
+    "ts_interpolate_linear",
+    "a_ks_drift",
+    "g_node_jaccard",
+    "lake_zorder_layout",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

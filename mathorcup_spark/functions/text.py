@@ -976,3 +976,105 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
         )
     )
+
+
+@register(
+    "t_quality_gopher_rules",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, x -> length(x)))
+                  AS DOUBLE) / len(words) AS mean_word_len,
+             CAST(len(list_filter(words,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(words) AS alpha_word_frac,
+             CAST(len(list_filter(words, x -> list_contains(
+                  ['the','and','of','to','a','in','is','it','that','for'],
+                  x))) AS BIGINT) AS stop_hits,
+             CAST(length(text)
+                  - length(replace(replace(text, '#', ''), '...', ''))
+                  AS DOUBLE) / len(words) AS symbol_ratio
+      FROM w
+    )
+    SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+           round(alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           CAST(n_words BETWEEN 10 AND 1000 AS INTEGER) AS r_word_count,
+           CAST(mean_word_len BETWEEN 2 AND 12 AS INTEGER) AS r_mean_len,
+           CAST(alpha_word_frac >= 0.7 AS INTEGER) AS r_alpha,
+           CAST(stop_hits >= 1 AS INTEGER) AS r_stopword,
+           CAST(symbol_ratio <= 0.1 AS INTEGER) AS r_symbol,
+           CAST(n_words BETWEEN 10 AND 1000
+                AND mean_word_len BETWEEN 2 AND 12
+                AND alpha_word_frac >= 0.7
+                AND stop_hits >= 1
+                AND symbol_ratio <= 0.1 AS INTEGER) AS quality_pass
+    FROM m
+    """,
+    doc="Gopher-style composite quality filter (Rae et al. 2021 §A1.1 "
+    "rule shapes, thresholds scaled to this corpus): per-document "
+    "word count bounds, mean word length bounds, alphabetic-word "
+    "fraction, stopword presence, and symbol(#/ellipsis)-to-word "
+    "ratio, each emitted as an auditable per-rule flag plus the "
+    "conjunction the corpus pipeline filters on. All narrow column "
+    "HOFs (split / filter / aggregate) — JVM codegen, zero shuffle, "
+    "linear to 100 TB; the per-rule flags mean a pipeline can A/B a "
+    "threshold change by re-aggregating flags without re-reading "
+    "text.",
+    tags=("text", "quality", "corpus"),
+)
+def t_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), "\\s+")
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.size(words).cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(split(trim(text), '\\\\s+'), 0L,"
+            " (acc, x) -> acc + length(x))"
+        ).alias("char_sum"),
+        F.size(
+            F.filter(words, lambda x: x.rlike("[A-Za-z]"))
+        ).cast("double").alias("n_alpha"),
+        F.size(
+            F.filter(words, lambda x: x.isin(STOPWORDS["en"]))
+        ).cast("long").alias("stop_hits"),
+        (
+            F.length("text")
+            - F.length(
+                F.replace(
+                    F.replace(F.col("text"), F.lit("#"), F.lit("")),
+                    F.lit("..."),
+                    F.lit(""),
+                )
+            )
+        ).cast("double").alias("n_symbol"),
+    )
+    mean_len = F.col("char_sum").cast("double") / F.col("n_words")
+    alpha = F.col("n_alpha") / F.col("n_words")
+    sym = F.col("n_symbol") / F.col("n_words")
+    r_wc = F.col("n_words").between(10, 1000)
+    r_ml = mean_len.between(2, 12)
+    r_al = alpha >= 0.7
+    r_st = F.col("stop_hits") >= 1
+    r_sy = sym <= 0.1
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_word_frac"),
+        "stop_hits",
+        F.round(sym, 6).alias("symbol_ratio"),
+        r_wc.cast("int").alias("r_word_count"),
+        r_ml.cast("int").alias("r_mean_len"),
+        r_al.cast("int").alias("r_alpha"),
+        r_st.cast("int").alias("r_stopword"),
+        r_sy.cast("int").alias("r_symbol"),
+        (r_wc & r_ml & r_al & r_st & r_sy).cast("int").alias("quality_pass"),
+    )

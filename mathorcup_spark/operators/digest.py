@@ -44,7 +44,13 @@ _SENT = "\x01"  # NULL sentinel (chr(1))
 _SEP = "\x1f"  # column separator (chr(31), unit separator)
 
 # kinds: "string" (no cast), "num" (CAST to string: ints, timestamps,
-# dates, arrays), "double" (round 6 -> DECIMAL(18,6) -> string)
+# dates, arrays), "double" (round 6 -> DECIMAL(18,6) -> string; safe
+# for doubles already rounded in-query or decimal-accumulated), "q6"
+# (floor(x * 1e6) -> BIGINT — for RAW arithmetic doubles: the IEEE
+# multiply is bit-identical on both engines and floor is exact, so
+# the quantization is deterministic for ANY bit-identical input,
+# unlike round-to-decimal whose two engine implementations can
+# disagree when x*1e6 lands near a .5 boundary)
 Member = tuple[str, str, list[tuple[str, str]]]
 
 
@@ -52,6 +58,8 @@ def _dnorm_spark(col: str, kind: str) -> Column:
     c = F.col(col)
     if kind == "double":
         c = F.round(c, 6).cast("decimal(18,6)")
+    elif kind == "q6":
+        c = F.floor(c * F.lit(1000000.0)).cast("long")
     if kind != "string":
         c = c.cast("string")
     return F.coalesce(c, F.lit(_SENT))
@@ -61,6 +69,8 @@ def _dnorm_sql(col: str, kind: str) -> str:
     ref = f"_m.{col}"
     if kind == "double":
         ref = f"CAST(round({ref}, 6) AS DECIMAL(18,6))"
+    elif kind == "q6":
+        ref = f"CAST(floor({ref} * 1000000.0) AS BIGINT)"
     if kind != "string":
         ref = f"CAST({ref} AS VARCHAR)"
     return f"coalesce({ref}, chr(1))"
@@ -145,6 +155,9 @@ _AGG_MEMBERS: list[Member] = [
      [("l_returnflag", "string"), ("p05", "double"), ("p95", "double"),
       ("n_clipped_low", "num"), ("n_clipped_high", "num"),
       ("mean_raw", "double"), ("mean_winsorized", "double")]),
+    ("ks_drift", "a_ks_drift",
+     [("n_a", "num"), ("n_b", "num"), ("n_values", "num"),
+      ("ks_stat", "q6")]),
 ]
 
 _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
@@ -157,9 +170,10 @@ _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
     "column stats, grouped multi-agg, group quantiles, MAD outliers, "
     "distinct-union domain, row dedup, histogram, degree norm, "
     "regression metrics (MAPE/MAE/Acc@5/score), Pearson, grouping "
-    "sets, event pivot, quantile-sketch bounds, and p05/p95 "
-    "winsorization — every column of every member row "
-    "md5-hash-verified in one driver row (not a slot projection).",
+    "sets, event pivot, quantile-sketch bounds, p05/p95 "
+    "winsorization, and the two-sample KS drift statistic — every "
+    "column of every member row md5-hash-verified in one driver row "
+    "(not a slot projection).",
     tags=("A1", "A5", "A6", "A7", "A8", "A9", "A13", "suite", "digest"),
 )
 def agg_digest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,6 +235,12 @@ _LAKE_MEMBERS: list[Member] = [
       ("bpe_tokens", "num"), ("quality", "double"), ("rate", "double"),
       ("cum_before", "num"), ("seq_id", "num"), ("seq_offset", "num"),
       ("spans_boundary", "num")]),
+    ("gopher_rules", "t_quality_gopher_rules",
+     [("doc_id", "num"), ("n_words", "num"), ("mean_word_len", "double"),
+      ("alpha_word_frac", "double"), ("stop_hits", "num"),
+      ("symbol_ratio", "double"), ("r_word_count", "num"),
+      ("r_mean_len", "num"), ("r_alpha", "num"), ("r_stopword", "num"),
+      ("r_symbol", "num"), ("quality_pass", "num")]),
 ]
 
 _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
@@ -236,8 +256,9 @@ _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
     "(decontamination, Gopher repetition, PII), the bigram-LM "
     "rarity screen, repeated-span dedup, BPE pair-count "
     "statistics, int8 embedding quantization, per-document "
-    "character entropy, and the incrementally-maintained verdict "
-    "pipeline corpus_pipeline_v5 — every column of every member row "
+    "character entropy, the incrementally-maintained verdict "
+    "pipeline corpus_pipeline_v5, and the Gopher-rule composite "
+    "quality filter — every column of every member row "
     "md5-hash-verified in one driver row.",
     tags=("text", "corpus", "sampling", "suite", "digest"),
 )
@@ -325,6 +346,19 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("partitioned_events", "lake_partitioned_events",
      [("event_type", "string"), ("n", "num"), ("total", "double"),
       ("n_days", "num")]),
+    ("markov", "ev_markov_attribution",
+     [("prev_type", "string"), ("next_type", "string"),
+      ("n_transitions", "num"), ("p_next", "double")]),
+    ("interpolate", "ts_interpolate_linear",
+     [("user_id", "num"), ("hour", "num"), ("value", "q6"),
+      ("interpolated", "num")]),
+    ("node_jaccard", "g_node_jaccard",
+     [("u", "num"), ("v", "num"), ("common", "num"), ("deg_u", "num"),
+      ("deg_v", "num"), ("jaccard", "q6")]),
+    ("zorder", "lake_zorder_layout",
+     [("file_id", "num"), ("n_rows", "num"), ("min_cust", "num"),
+      ("max_cust", "num"), ("min_day", "num"), ("max_day", "num"),
+      ("cust_span_frac", "q6"), ("day_span_frac", "q6")]),
 ]
 
 _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
@@ -343,9 +377,11 @@ _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
     "TSV parse, bidirectional MRR, RFM segmentation, the k-core "
     "decomposition, snapshot-diff CDC, the SCD2 merge, hourly "
     "resample + forward-fill, multi-source BFS hop distance, "
-    "label-propagation communities, and the self-asserting "
-    "co-bucketed zero-shuffle join — every column of every member "
-    "row md5-hash-verified in one driver row. Members that "
+    "label-propagation communities, the self-asserting "
+    "co-bucketed zero-shuffle join, the Markov transition matrix, "
+    "linear-interpolation resample, neighbor-Jaccard link "
+    "prediction, and the z-order layout plan — every column of "
+    "every member row md5-hash-verified in one driver row. Members that "
     "previously held individual driver slots (d_minhash_lsh, "
     "d_simhash, d_lsh_rescore_e2e, s_tsv_parse_ragged, "
     "g_bidirectional_mrr) are verified FULL-width here, freeing "

@@ -335,3 +335,120 @@ def lake_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_Z_BITS = 10  # per-dimension z-order resolution (2^10 cells per dim)
+_Z_FILE_SHIFT = 14  # file id = top 6 z bits -> 64 files
+
+# bit-interleave of the two normalized cell coordinates zx, zy —
+# identical expression text evaluated by BOTH engines (Spark F.expr
+# and the DuckDB oracle), fully parenthesized so operator precedence
+# cannot differ.
+_Z_INTERLEAVE = " | ".join(
+    f"((((zx >> {i}) & 1) << {2 * i + 1})"
+    f" | (((zy >> {i}) & 1) << {2 * i}))"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "lake_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day
+      FROM orders
+    ), b AS (
+      SELECT min(o_custkey) AS cx0, max(o_custkey) AS cx1,
+             min(day) AS dy0, max(day) AS dy1 FROM d
+    ), n AS (
+      SELECT o_orderkey, o_custkey, day, cx0, cx1, dy0, dy1,
+             CAST(floor(CAST((o_custkey - cx0) * 1023 AS DOUBLE)
+                        / greatest(cx1 - cx0, 1)) AS BIGINT) AS zx,
+             CAST(floor(CAST((day - dy0) * 1023 AS DOUBLE)
+                        / greatest(dy1 - dy0, 1)) AS BIGINT) AS zy
+      FROM d, b
+    ), z AS (
+      SELECT o_orderkey, o_custkey, day, cx0, cx1, dy0, dy1,
+             ({_Z_INTERLEAVE}) AS zval
+      FROM n
+    )
+    SELECT CAST(zval >> {_Z_FILE_SHIFT} AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(day) AS min_day, max(day) AS max_day,
+           CAST(max(o_custkey) - min(o_custkey) + 1 AS DOUBLE)
+             / (any_value(cx1) - any_value(cx0) + 1) AS cust_span_frac,
+           CAST(max(day) - min(day) + 1 AS DOUBLE)
+             / (any_value(dy1) - any_value(dy0) + 1) AS day_span_frac
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton-curve) layout planning for two-dimensional "
+    "data skipping: normalize (o_custkey, order day) each to a "
+    "1024-cell grid, bit-interleave the cells into a 20-bit z-value, "
+    "cut the curve into 64 files on its top 6 bits, and emit each "
+    "file's min/max footprint on BOTH dimensions — exactly the "
+    "per-file statistics a lakehouse format keeps to prune scans. "
+    "The span fractions are the proof: every file covers ~1/8 of "
+    "EACH dimension (vs 1/64 of one and 100% of the other under a "
+    "single-key sort), so point/range predicates on EITHER column "
+    "skip ~7/8 of files. Scale posture: min/max normalization is "
+    "one broadcast scalar row; cell, interleave, and file id are "
+    "pure per-row integer bit ops (JVM codegen); the only shuffle "
+    "is the final 64-group file-stats agg — the layout decision for "
+    "a 100 TB table costs one linear scan.",
+    tags=("lake", "layout", "zorder"),
+)
+def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    b = d.agg(
+        F.min("o_custkey").alias("cx0"),
+        F.max("o_custkey").alias("cx1"),
+        F.min("day").alias("dy0"),
+        F.max("day").alias("dy1"),
+    )
+    n = d.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        "cx0",
+        "cx1",
+        "dy0",
+        "dy1",
+        F.floor(
+            ((F.col("o_custkey") - F.col("cx0")) * 1023).cast("double")
+            / F.greatest(F.col("cx1") - F.col("cx0"), F.lit(1))
+        ).cast("long").alias("zx"),
+        F.floor(
+            ((F.col("day") - F.col("dy0")) * 1023).cast("double")
+            / F.greatest(F.col("dy1") - F.col("dy0"), F.lit(1))
+        ).cast("long").alias("zy"),
+    )
+    z = n.withColumn("zval", F.expr(_Z_INTERLEAVE))
+    return (
+        z.groupBy(
+            F.shiftright("zval", _Z_FILE_SHIFT).cast("long").alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+            (
+                (F.max("o_custkey") - F.min("o_custkey") + 1).cast("double")
+                / (F.any_value("cx1") - F.any_value("cx0") + 1)
+            ).alias("cust_span_frac"),
+            (
+                (F.max("day") - F.min("day") + 1).cast("double")
+                / (F.any_value("dy1") - F.any_value("dy0") + 1)
+            ).alias("day_span_frac"),
+        )
+    )

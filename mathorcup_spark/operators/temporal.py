@@ -420,3 +420,197 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("carried"),
         )
     )
+
+
+@register(
+    "ev_markov_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             coalesce(lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id),
+               '__START__') AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / CAST(sum(n_transitions) OVER (
+                     PARTITION BY prev_type) AS BIGINT), 6) AS p_next
+    FROM t
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the attribution/journey model behind channel "
+    "attribution and next-event prediction; no analog in the "
+    "reference, which has no event ordering at all): each user's "
+    "events ordered by (ts, event_id) yield (prev_type -> next_type) "
+    "transitions with a __START__ source state, reduced to global "
+    "transition counts and row-normalized probabilities. Scale "
+    "posture: one shuffle on user_id for the lag window, then one "
+    "shuffle on the TINY (prev,next) state-pair key — the matrix is "
+    "|event_types|^2 rows no matter how many events feed it, so the "
+    "normalizing window runs on a broadcast-scale frame. Linear in "
+    "events at 100 TB.",
+    tags=("temporal", "markov", "attribution"),
+)
+def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.lag("event_type").over(w), F.lit("__START__")
+        ).alias("prev_type"),
+    )
+    t = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    norm = W.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("long"),
+            6,
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ), obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), joined AS (
+      SELECT g.user_id, g.hour, o.value AS obs_value
+      FROM grid g
+      LEFT JOIN (SELECT * FROM obs WHERE rn = 1) o
+        ON o.user_id = g.user_id AND o.hour = g.hour
+    ), span AS (
+      SELECT user_id, hour, obs_value,
+             last_value(obs_value IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN obs_value IS NOT NULL THEN hour END
+                        IGNORE NULLS) OVER wp AS prev_h,
+             first_value(obs_value IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN obs_value IS NOT NULL THEN hour END
+                         IGNORE NULLS) OVER wf AS next_h
+      FROM joined
+      WINDOW wp AS (PARTITION BY user_id ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour,
+           CASE
+             WHEN obs_value IS NOT NULL THEN obs_value
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(epoch_us(hour) - epoch_us(prev_h) AS DOUBLE)
+                     / CAST(epoch_us(next_h) - epoch_us(prev_h)
+                            AS DOUBLE))
+           END AS value,
+           CASE WHEN obs_value IS NULL THEN 1 ELSE 0 END AS interpolated
+    FROM span
+    """,
+    doc="Linear-interpolation resample: the companion to "
+    "ts_resample_ffill for continuous signals — per user, every hour "
+    "between first and last event; hours with no observation get the "
+    "time-weighted line between the nearest observed hours on either "
+    "side (ffill/bfill only at the edges). Implemented with TWO "
+    "ordered windows over the SAME (user_id, hour) sort — a "
+    "backward last(ignorenulls) carrying (prev value, prev hour) and "
+    "a forward first(ignorenulls) carrying (next value, next hour) — "
+    "then one arithmetic projection; Catalyst runs both window specs "
+    "in a single sort+shuffle on user_id, so the whole op costs the "
+    "same one exchange as plain ffill at any scale.",
+    tags=("temporal", "resample", "interpolate"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "hour").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    obs = (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", F.col("value").alias("obs_value"))
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("obs_value").isNotNull(), F.col("hour"))
+    span = grid.join(obs, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "obs_value",
+        F.last("obs_value", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_hour, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("obs_value", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    frac = (
+        F.unix_micros("hour") - F.unix_micros("prev_h")
+    ).cast("double") / (
+        F.unix_micros("next_h") - F.unix_micros("prev_h")
+    ).cast("double")
+    value = (
+        F.when(F.col("obs_value").isNotNull(), F.col("obs_value"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+    )
+    return span.select(
+        "user_id",
+        "hour",
+        value.alias("value"),
+        F.when(F.col("obs_value").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("interpolated"),
+    )

@@ -248,6 +248,26 @@ EXPECT: dict[str, dict] = {
     # PartitionFilters on the windowed read inside the query; the
     # returned frame is the eager checkpoint of the aggregate
     "lake_partitioned_events": {"checkpoint_result_ok": True},
+    # narrow map-only rule evaluation (split/filter/aggregate HOFs):
+    # no shuffle at all
+    "t_quality_gopher_rules": {},
+    # lag window keyed on user_id, then a tiny (prev,next)-keyed agg;
+    # the normalizing window partitions on prev_type — never global
+    "ev_markov_attribution": {},
+    # grid join + backward/forward fill windows all share the ONE
+    # user_id shuffle (same sort serves both window specs)
+    "ts_interpolate_linear": {},
+    # min/max/total bounds are a 1-row broadcast (scalar-subquery
+    # BNLJ); the only unpartitioned window is the 256-row bucket
+    # offset table — O(1) rows at any data size (documented)
+    "a_ks_drift": {"bnlj_ok": True, "single_partition_ok": True},
+    # wedge self-join with the degree-capped shared neighbor; top-k
+    # via TakeOrderedAndProject (no global sort exchange)
+    "g_node_jaccard": {},
+    # normalization bounds are a 1-row broadcast crossJoin (scalar-
+    # subquery BNLJ); interleave + file id are pure codegen bit ops;
+    # one 64-group agg
+    "lake_zorder_layout": {"bnlj_ok": True},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
