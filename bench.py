@@ -141,6 +141,18 @@ HEADLINE = [
     "a_ks_drift",
     "g_node_jaccard",
     "lake_zorder_layout",
+    "ev_windowed_anomaly",
+    "ev_path_topk",
+    "a_mutual_information",
+    "lake_compaction_plan",
+    "d_cdc_chunk_dedup",
+    "t_ngram_novelty",
+    "a_psi_drift",
+    "ev_ohlc_bars",
+    "lake_schema_evolution",
+    "t_curriculum_sample",
+    "e_target_encoding",
+    "g_degree_distribution",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the
@@ -209,6 +221,7 @@ def main() -> None:
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
     for name in names:  # codegen/JIT warmup on tiny data
+        print(f"[bench] warmup {name}", file=sys.stderr, flush=True)
         qs[name](spark, WARMUP_SF_DIR).count()
 
     # Median-of-3: full rotation through the set per pass so a GC
@@ -218,6 +231,9 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _pass in range(N_PASSES):
         for name in names:
+            print(
+                f"[bench] pass {_pass + 1} {name}", file=sys.stderr, flush=True
+            )
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.count()

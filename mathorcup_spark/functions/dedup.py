@@ -1283,3 +1283,120 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("span_duplicated"),
     )
+
+
+# content-defined chunk boundary: first byte of md5(word) mod 16 == 0
+# -> expected chunk length 16 words. The byte is the same engine-shared
+# md5-hex decode both sides (the _hash_u / d_simhash trick).
+_CDC_MOD = 16
+
+
+@register(
+    "d_cdc_chunk_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(ws) AS word,
+             generate_subscripts(ws, 1) AS p
+      FROM w
+    ), b AS (
+      SELECT doc_id, word, p,
+             CASE WHEN (
+               (instr('0123456789abcdef',
+                      substr(md5(word), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef',
+                       substr(md5(word), 2, 1)) - 1
+             ) % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS boundary
+      FROM pos
+    ), c AS (
+      SELECT doc_id, word, p,
+             CAST(sum(boundary) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
+      FROM b
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(word, ' ' ORDER BY p)) AS chunk_hash
+      FROM c GROUP BY doc_id, chunk_id
+    ), freq AS (
+      SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_chunk_frac,
+           CAST(CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*) >= 0.5 AS INTEGER)
+             AS chunk_duplicated
+    FROM chunks ch JOIN freq f USING (chunk_hash)
+    GROUP BY ch.doc_id
+    """,
+    doc="Content-defined chunking (CDC) dedup screen: chunk "
+    "boundaries cut where md5(word) mod 16 == 0 (a Rabin-style "
+    "content-derived cut, expected chunk ~16 words), so chunk "
+    "identity survives insertions/deletions that SHIFT text — the "
+    "property fixed-window span dedup (d_span_dedup) lacks, and the "
+    "mechanism storage dedup systems (LBFS/Venti lineage) use. Each "
+    "doc reports its chunk count, corpus-duplicated chunk count and "
+    "fraction, and a >=50% flag. Scale posture: boundary decision "
+    "is per-word (narrow, codegen); chunk assembly is one cumsum "
+    "window + one groupBy sharing the doc_id shuffle; the "
+    "cross-corpus frequency join shuffles on chunk_hash whose "
+    "cardinality is bounded by total words / 16 — linear in corpus "
+    "at 100 TB, no pairwise comparisons anywhere.",
+    tags=("dedup", "cdc", "text"),
+)
+def d_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    pos = docs.select(
+        "doc_id", F.posexplode(words).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    byte0 = F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("long")
+    b = pos.withColumn(
+        "boundary",
+        F.when(byte0 % _CDC_MOD == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    cw = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = b.withColumn("chunk_id", F.sum("boundary").over(cw).cast("long"))
+    chunks = c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p", "word"))
+                    ),
+                    lambda s: s.word,
+                ),
+                " ",
+            )
+        ).alias("chunk_hash")
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    dup = F.when(F.col("n_occ") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_chunk_frac"
+            ),
+            (
+                (F.sum(dup).cast("double") / F.count(F.lit(1))) >= 0.5
+            ).cast("int").alias("chunk_duplicated"),
+        )
+    )

@@ -625,3 +625,64 @@ def e_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - 1).alias("n_collisions"),
         F.min(F.concat_ws(":", "feature", "value")).alias("example_value"),
     )
+
+
+_TE_SMOOTH = 50  # prior strength m in (sum + m*prior)/(n + m)
+
+
+@register(
+    "e_target_encoding",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS prior
+      FROM orders
+    ), c AS (
+      SELECT o_orderpriority AS category,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT category, n,
+           round(s / n, 6) AS cat_mean,
+           round(prior, 6) AS prior_mean,
+           round((s + {_TE_SMOOTH} * prior) / (n + {_TE_SMOOTH}), 6)
+             AS encoded
+    FROM c, g
+    """,
+    doc="Smoothed mean-target encoding: each categorical level of "
+    "o_orderpriority becomes the shrinkage blend (sum_cat + m * "
+    "prior) / (n_cat + m) of its own target mean toward the global "
+    "mean (m=50) — the leakage-resistant categorical encoder "
+    "gradient-boosting pipelines standardize on, generalizing the "
+    "reference's raw dictionary id encode (src/utils.py vocabulary "
+    "build) to a numeric feature. Sums accumulate in decimal(18,6) "
+    "on both engines so the means are partitioning-independent; the "
+    "final blend is per-category IEEE arithmetic rounded at 6. "
+    "Scale posture: ONE shuffle on the category key (map-side "
+    "partial agg) plus a 1-row broadcast prior; output is bounded "
+    "by the category domain. The encode table then broadcast-joins "
+    "back onto any fact table — the j_lookup_encode path.",
+    tags=("E1", "encode", "feature", "ml"),
+)
+def e_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    g = orders.agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("prior")
+    )
+    c = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+    )
+    m = F.lit(_TE_SMOOTH)
+    return c.crossJoin(F.broadcast(g)).select(
+        "category",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("cat_mean"),
+        F.round(F.col("prior"), 6).alias("prior_mean"),
+        F.round(
+            (F.col("s") + m * F.col("prior")) / (F.col("n") + m), 6
+        ).alias("encoded"),
+    )

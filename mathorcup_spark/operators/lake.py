@@ -23,6 +23,7 @@ the driver's fixed testdata.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -452,3 +453,154 @@ def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_span_frac"),
         )
     )
+
+
+_COMPACT_BINS = 16  # target bin count for the packing plan
+
+
+@register(
+    "lake_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS file_bytes
+      FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT CAST(sum(file_bytes) AS BIGINT) AS total_bytes FROM files
+    ), c AS (
+      SELECT source, lang, file_bytes, total_bytes,
+             CAST(sum(file_bytes) OVER (
+               ORDER BY source, lang ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) - file_bytes AS cum_before
+      FROM files, t
+    )
+    SELECT CAST(floor(CAST(cum_before * {_COMPACT_BINS} AS DOUBLE)
+                      / total_bytes) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(file_bytes) AS BIGINT) AS bin_bytes,
+           min(source || '/' || lang) AS first_file,
+           max(source || '/' || lang) AS last_file
+    FROM c GROUP BY 1
+    """,
+    doc="Small-file compaction planning: treat each (source, lang) "
+    "slice of the corpus as one input file (its byte size = total "
+    "text chars), then assign files to target-size output bins by "
+    "walking the key-ordered inventory and cutting at every "
+    "total/16 bytes of cumulative size — the greedy bin-packing an "
+    "OPTIMIZE/compaction job runs before rewriting a fragmented "
+    "table. Pure integer arithmetic end-to-end (BIGINT sums, "
+    "integer-division bin cut), so the plan is deterministic on "
+    "both engines with no float hazard. Scale posture: the plan "
+    "operates on the FILE INVENTORY (one row per file — manifest "
+    "metadata, ~thousands of rows for a 100 TB table), never on "
+    "data rows, so the single ordered cumsum window over it is "
+    "bounded by file count, not data size; the inventory itself "
+    "aggregates from the table in one shuffle on the layout key.",
+    tags=("lake", "compaction", "layout"),
+)
+def lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("file_bytes")
+    )
+    t = files.agg(F.sum("file_bytes").cast("long").alias("total_bytes"))
+    cw = (
+        W.orderBy("source", "lang")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = files.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "file_bytes",
+        "total_bytes",
+        (F.sum("file_bytes").over(cw).cast("long") - F.col("file_bytes"))
+        .alias("cum_before"),
+    )
+    return c.groupBy(
+        F.floor(
+            (F.col("cum_before") * _COMPACT_BINS).cast("double")
+            / F.col("total_bytes")
+        )
+        .cast("long")
+        .alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("file_bytes").cast("long").alias("bin_bytes"),
+        F.min(F.concat_ws("/", "source", "lang")).alias("first_file"),
+        F.max(F.concat_ws("/", "source", "lang")).alias("last_file"),
+    )
+
+
+@register(
+    "lake_schema_evolution",
+    oracle="""
+    SELECT 1 AS version, o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2, o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE), o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc="Schema evolution on read: a v1 parquet batch (3 columns) and "
+    "a later v2 batch that ADDED o_orderpriority live side by side in "
+    "one table directory; `mergeSchema` reconciles them into the "
+    "union schema with v1 rows null-filled — the additive-column "
+    "migration every long-lived lake table goes through, no rewrite "
+    "of old files. The fn writes both real parquet batches to a "
+    "run-scoped temp dir (version as a partition column, so the scan "
+    "can still prune by version) and asserts the merged read carries "
+    "BOTH files' schemas. Scale posture: schema merge is a "
+    "footer-only planning step (bounded by file count, not rows); "
+    "the data read stays one pruned columnar scan, and old files are "
+    "never rewritten — the point of the pattern at 100 TB.",
+    tags=("lake", "schema-evolution", "source"),
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="mathorcup_schema_evo_")
+    try:
+        v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.lit(1).alias("version"),
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        v1.write.mode("overwrite").partitionBy("version").parquet(out)
+        v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.lit(2).alias("version"),
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        v2.write.mode("append").partitionBy("version").parquet(out)
+        merged = spark.read.option("mergeSchema", "true").parquet(out)
+        got = set(merged.columns)
+        want = {
+            "version",
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+        }
+        if got != want:
+            raise AssertionError(
+                f"mergeSchema did not reconcile the union schema: {got}"
+            )
+        result = merged.select(
+            F.col("version").cast("int").alias("version"),
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        # eager localCheckpoint pins the rows executor-side so the
+        # temp layout can be deleted without breaking lineage (the
+        # lake_bucketed_join discipline) — no driver-side collect
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

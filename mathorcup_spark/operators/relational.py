@@ -1269,3 +1269,170 @@ def a_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ks_stat")
     ).select("n_a", "n_b", "n_values", "ks_stat")
+
+
+@register(
+    "a_mutual_information",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(count(*) AS BIGINT) AS c_xy
+      FROM orders GROUP BY 1, 2
+    ), t AS (
+      SELECT CAST(sum(c_xy) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM c
+    ), mx AS (
+      SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM c GROUP BY x
+    ), my AS (
+      SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM c GROUP BY y
+    ), terms AS (
+      SELECT t.n, t.n_cells,
+             CAST((CAST(c.c_xy AS DOUBLE) / t.n) * log2(
+               (CAST(c.c_xy AS DOUBLE) * t.n)
+               / (CAST(mx.c_x AS DOUBLE) * my.c_y))
+               AS DECIMAL(28,12)) AS mi_term
+      FROM c JOIN mx USING (x) JOIN my USING (y), t
+    )
+    SELECT any_value(n) AS n, any_value(n_cells) AS n_cells,
+           CAST(sum(mi_term) AS DOUBLE) AS mi_bits
+    FROM terms
+    """,
+    doc="Mutual information (in bits) between two categorical columns "
+    "(o_orderpriority x o_orderstatus) — the feature-association "
+    "screen a training pipeline runs to find redundant or leaking "
+    "features; "
+    "no analog in the reference (its feature selection is manual, "
+    "src/utils.py column lists). MI = sum over cells of p_xy * "
+    "log2(p_xy / (p_x p_y)), computed entirely from exact BIGINT "
+    "contingency counts: the per-cell double term is identical IEEE "
+    "arithmetic on both engines (log2 is the engine-proven shared "
+    "log, the t_char_entropy discipline) and the sum over the "
+    "bounded |X|x|Y| cell domain accumulates in decimal. Scale "
+    "posture: ONE shuffle on the (x, y) pair builds the contingency "
+    "table; margins and totals derive from those <= |X|x|Y| rows "
+    "(broadcast-scale), so the fact table is scanned exactly once "
+    "at any data size.",
+    tags=("agg", "drift", "quality"),
+)
+def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    t = c.agg(
+        F.sum("c_xy").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    mx = c.groupBy("x").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    my = c.groupBy("y").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    joined = (
+        c.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(t))
+    )
+    p_xy = F.col("c_xy").cast("double") / F.col("n")
+    mi_term = (
+        p_xy
+        * F.log2(
+            (F.col("c_xy").cast("double") * F.col("n"))
+            / (F.col("c_x").cast("double") * F.col("c_y"))
+        )
+    ).cast("decimal(28,12)")
+    return joined.select(
+        "n", "n_cells", mi_term.alias("mi_term"),
+    ).agg(
+        F.any_value("n").alias("n"),
+        F.any_value("n_cells").alias("n_cells"),
+        F.sum("mi_term").cast("double").alias("mi_bits"),
+    )
+
+
+_PSI_BIN_W = 10.0  # fixed bin width over the events value range
+_PSI_MAX_BIN = 49  # values >= 490 clamp into the last bin
+
+
+@register(
+    "a_psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(CAST(floor(value / {_PSI_BIN_W}) AS BIGINT),
+                   {_PSI_MAX_BIN}) AS bin_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+             CAST(sum(c_b) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM b
+    ), terms AS (
+      SELECT t.n_a, t.n_b, t.n_bins,
+             CAST((
+               (CAST(b.c_a + 1 AS DOUBLE) / (t.n_a + t.n_bins))
+               - (CAST(b.c_b + 1 AS DOUBLE) / (t.n_b + t.n_bins))
+             ) * ln(
+               (CAST(b.c_a + 1 AS DOUBLE) / (t.n_a + t.n_bins))
+               / (CAST(b.c_b + 1 AS DOUBLE) / (t.n_b + t.n_bins))
+             ) AS DECIMAL(28,12)) AS psi_term
+      FROM b, t
+    )
+    SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+           any_value(n_bins) AS n_bins,
+           CAST(sum(psi_term) AS DOUBLE) AS psi
+    FROM terms
+    """,
+    doc="Population Stability Index between the click and purchase "
+    "event-value distributions — the drift metric production model "
+    "monitoring standardizes on (complements a_ks_drift: PSI weights "
+    "by divergence magnitude per bin, KS takes the max ECDF gap). "
+    "Values land in fixed-width bins (width 10, clamped at bin 49) "
+    "so bin assignment is one exact IEEE floor both engines share — "
+    "no data-dependent boundary to drift between engines — and "
+    "add-one smoothing over the observed-bin domain keeps ln() off "
+    "zero cells. Counts are exact BIGINTs from ONE shuffle on the "
+    "bin id; the per-bin double term is identical IEEE arithmetic "
+    "(shared ln, the a_mutual_information discipline) accumulated "
+    "in decimal over the <=50-row bin domain. Scale posture: the "
+    "events scan reduces map-side to <=50 bins; totals broadcast "
+    "back over those rows, so the fact table is scanned once and "
+    "nothing downstream grows with data size.",
+    tags=("agg", "drift", "quality"),
+)
+def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bin_id = F.least(
+        F.floor(F.col("value") / _PSI_BIN_W).cast("long"),
+        F.lit(_PSI_MAX_BIN),
+    )
+    b = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("c_a"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "c_b"
+            ),
+        )
+    )
+    t = b.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    j = b.crossJoin(F.broadcast(t))
+    p_a = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + F.col("n_bins"))
+    p_b = (F.col("c_b") + 1).cast("double") / (F.col("n_b") + F.col("n_bins"))
+    psi_term = ((p_a - p_b) * F.log(p_a / p_b)).cast("decimal(28,12)")
+    return j.select(
+        "n_a", "n_b", "n_bins", psi_term.alias("psi_term")
+    ).agg(
+        F.any_value("n_a").alias("n_a"),
+        F.any_value("n_b").alias("n_b"),
+        F.any_value("n_bins").alias("n_bins"),
+        F.sum("psi_term").cast("double").alias("psi"),
+    )

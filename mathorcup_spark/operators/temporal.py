@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..registry import dsum, register
+from ..registry import DEC, dsum, register
 
 
 @register(
@@ -613,4 +613,255 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("obs_value").isNull(), F.lit(1))
         .otherwise(F.lit(0))
         .alias("interpolated"),
+    )
+
+
+@register(
+    "ev_windowed_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             CAST(count(value) OVER tw AS BIGINT) AS n_win,
+             CAST(sum(CAST(value AS DECIMAL(20,8))) OVER tw
+                  AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(24,8))) OVER tw
+                  AS DOUBLE) AS s2
+      FROM events
+      WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_id, user_id, value, n_win,
+             CASE WHEN n_win >= 10
+                       AND (s2 - s1 * s1 / n_win) / (n_win - 1) > 0
+                  THEN (value - s1 / n_win)
+                       / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1))
+             END AS zscore
+      FROM w
+    )
+    SELECT event_id, user_id, value, n_win, zscore,
+           CASE WHEN zscore IS NOT NULL AND abs(zscore) > 3
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM z
+    """,
+    doc="Trailing-window z-score anomaly detection: each event's value "
+    "scored against the mean/std of that user's previous 20 events "
+    "(window excludes the current row, so the score is a genuine "
+    "out-of-sample residual); |z| > 3 with at least 10 prior "
+    "observations flags the anomaly — the streaming-shaped data "
+    "quality monitor run batch-side. Mean and variance come from "
+    "exact decimal window moments (sum, sum-of-squares) so both "
+    "engines agree bit-for-bit (the a_column_stats discipline "
+    "applied per-window); the final z arithmetic is per-row IEEE. "
+    "One shuffle on user_id with a single within-key sort; the "
+    "constant 20-row frame keeps per-row window cost O(1), linear "
+    "in events at 100 TB.",
+    tags=("temporal", "anomaly", "drift", "quality"),
+)
+def ev_windowed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    n = F.count(v).over(tw).cast("long")
+    s1 = F.sum(v.cast("decimal(20,8)")).over(tw).cast("double")
+    s2 = F.sum((v * v).cast("decimal(24,8)")).over(tw).cast("double")
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.alias("n_win"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_win")) / (
+        F.col("n_win") - 1
+    )
+    zscore = F.when(
+        (F.col("n_win") >= 10) & (var > 0),
+        (F.col("value") - F.col("s1") / F.col("n_win")) / F.sqrt(var),
+    )
+    z = w.select("event_id", "user_id", "value", "n_win", zscore.alias("zscore"))
+    return z.select(
+        "event_id",
+        "user_id",
+        "value",
+        "n_win",
+        "zscore",
+        F.when(
+            F.col("zscore").isNotNull() & (F.abs("zscore") > 3), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    )
+
+
+_PATH_GAP_US = 21_600_000_000  # 6h session gap (ev_sessionize's)
+_PATH_LEN = 3
+_PATH_TOPK = 20
+
+
+@register(
+    "ev_path_topk",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {_PATH_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    ), r AS (
+      SELECT user_id, session_seq, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, session_seq
+               ORDER BY ts_us, event_id) AS rn
+      FROM s
+    ), p AS (
+      SELECT user_id, session_seq,
+             concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM r WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id, session_seq
+    ), c AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY path
+    )
+    SELECT path, n_sessions,
+           CAST(row_number() OVER (
+             ORDER BY n_sessions DESC, path) AS BIGINT) AS rnk
+    FROM c ORDER BY rnk LIMIT {_PATH_TOPK}
+    """,
+    doc="Session path mining: the top-20 most common opening "
+    "event-type sequences (first 3 events per 6h-gap session, "
+    "rendered 'a>b>c') — the journey/funnel-discovery query behind "
+    "onboarding analysis; builds on ev_sessionize's gap logic. The "
+    "3-slot pivot (max-of-case per rank) renders each session's "
+    "prefix without any ordered array aggregation, so engine "
+    "collect-order differences cannot leak in. Scale posture: the "
+    "lag -> cumsum -> rank windows all share ONE (user_id, ts, "
+    "event_id) sort; path counting shuffles on the tiny path-string "
+    "domain (<= |event_types|^3 rows), and the final ranking window "
+    "runs on that bounded domain — O(1) at any event volume.",
+    tags=("temporal", "events-analytics", "path"),
+)
+def ev_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    gap = ts_us - F.lag(ts_us).over(wl)
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.when(
+            gap.isNull() | (gap > _PATH_GAP_US), F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_s"),
+    )
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = g.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.sum("new_s").over(wc).cast("long").alias("session_seq"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "session_seq").orderBy("ts_us", "event_id")
+    )
+    r = s.withColumn("rn", rn).filter(F.col("rn") <= _PATH_LEN)
+    slot = [
+        F.max(F.when(F.col("rn") == i, F.col("event_type")))
+        for i in range(1, _PATH_LEN + 1)
+    ]
+    p = r.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(">", *slot).alias("path")
+    )
+    c = p.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    rnk = F.row_number().over(
+        W.orderBy(F.col("n_sessions").desc(), "path")
+    )
+    return (
+        c.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= _PATH_TOPK)
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "ev_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type,
+                            date_trunc('hour', ts)) AS cnt
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type, bar_ts,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn = cnt THEN value END) AS close,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, bar_ts
+    """,
+    doc="OHLC downsampling: per (event_type, hour) bars with "
+    "open/high/low/close/volume — the canonical time-series "
+    "compaction that turns a raw event stream into chart-ready "
+    "candles (no analog in the reference; its time handling stops "
+    "at date parts, src/utils.py:153-176). Open/close are "
+    "deterministic firsts/lasts: a row_number ordered by (ts, "
+    "event_id) breaks timestamp ties identically on both engines, "
+    "and close reuses the SAME ascending sort via rn == cnt instead "
+    "of a second descending window. Scale posture: ONE shuffle on "
+    "(event_type, hour) with a single within-key sort shared by "
+    "both window functions and the groupBy that follows (same key, "
+    "no re-exchange); volume accumulates in decimal so the bar is "
+    "partitioning-independent. Output is bounded by types x hours, "
+    "not by event volume.",
+    tags=("temporal", "downsample", "ohlc"),
+)
+def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    wo = W.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    wc = W.partitionBy("event_type", bar)
+    r = ev.select(
+        "event_type",
+        bar.alias("bar_ts"),
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return r.groupBy("event_type", "bar_ts").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))).alias(
+            "close"
+        ),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("volume"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
     )

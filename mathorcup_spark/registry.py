@@ -120,11 +120,12 @@ def oracle_davg(expr: str, alias: str) -> str:
 # columns, so the queries they absorb (d_minhash_lsh, d_simhash,
 # d_lsh_rescore_e2e, s_tsv_parse_ragged, a_grouping_sets,
 # a_pivot_event_values, g_bidirectional_mrr) are verified MORE
-# strongly than by their former individual slots. Exactly four
+# strongly than by their former individual slots. Exactly three
 # surface queries are rows-only by design (no cross-engine oracle):
-# r_seeded_suite (seeded RNG), ml_pipeline_suite + ml_kmeans_ivf_ann
-# (MLlib fits), st_stateful_suite (real readStream runs,
-# self-asserting stream==batch flags).
+# r_seeded_suite (seeded RNG) and ml_pipeline_suite +
+# ml_kmeans_ivf_ann (MLlib fits). st_stateful_suite gained a DuckDB
+# oracle in round 6 (independently re-derived key counts + pinned
+# zero-mismatch flags), so its readStream checks are hash-verified.
 DRIVER_SURFACE: tuple[str, ...] = (
     "flagship_revenue_by_priority",
     "rel_projection_suite",

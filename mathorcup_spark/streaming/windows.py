@@ -282,6 +282,14 @@ def _stateful_oracle() -> str:
            (SELECT count(*) * {N_TABLES} FROM embeddings), 0, 1
     UNION ALL
     SELECT 'ann_ingest_probe_parity', (SELECT n FROM ann_parity), 0, 1
+    UNION ALL
+    SELECT 'stream_stream_join',
+           (SELECT count(*)
+            FROM events c JOIN events e
+              ON c.user_id = e.user_id
+             AND c.event_type = 'click' AND e.event_type = 'error'
+             AND e.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts),
+           0, 1
     """
 
 
@@ -313,7 +321,12 @@ def _stateful_oracle() -> str:
     "(k-unbounded, so decisions are the monotone bucket-collision "
     "set) then appended, with store-content convergence vs a "
     "one-shot build and initial-corpus probe parity with the "
-    "strictly-earlier-append extras argument. The fn RAISES "
+    "strictly-earlier-append extras argument; (8) stream-stream "
+    "inner join — clicks x errors on user_id within a 30-minute "
+    "trailing event-time window, both sides watermarked readStreams "
+    "(bounded join state), append mode, pair set == the batch join "
+    "under the identical predicate, with the oracle re-deriving the "
+    "pair count through an independent SQL join. The fn RAISES "
     "if any flag is 0, so a "
     "silent semantics drift cannot produce a green row. Events are "
     "re-materialized with micros timestamps first (the raw file is "
@@ -689,6 +702,82 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad = len(ann_initial_pairs ^ ann_one_shot) + int(not ann_extras_ok)
         rows.append(
             ("ann_ingest_probe_parity", len(ann_one_shot), bad, int(bad == 0))
+        )
+
+        # (8) stream-stream inner join: clicks joined to errors on
+        # user_id within a 30-minute trailing window, BOTH sides real
+        # readStreams with event-time watermarks (the state-cleanup
+        # contract: Spark buffers each side only as long as the
+        # watermark + range bound require, so join state is bounded
+        # by rate x window at any corpus size). Append-mode memory
+        # sink; the joined (click_id, error_id) pair set must equal
+        # the batch join under the identical predicate.
+        clicks_s = (
+            stream()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("c_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        errors_s = (
+            stream()
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("e_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "1 hour")
+        )
+        cond = (
+            (F.col("c_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("e_ts") <= F.col("c_ts"))
+        )
+        name8 = f"st_ssjoin_{tag}"
+        q = (
+            clicks_s.join(errors_s, cond, "inner")
+            .select("c_id", "e_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name8)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got_pairs = {
+                (r["c_id"], r["e_id"])
+                for r in spark.sql(f"SELECT * FROM {name8}").collect()
+            }
+        finally:
+            q.stop()
+        ev_static = spark.read.parquet(src)
+        want_pairs = {
+            (r["c_id"], r["e_id"])
+            for r in ev_static.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("c_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .join(
+                ev_static.filter(F.col("event_type") == "error").select(
+                    F.col("event_id").alias("e_id"),
+                    F.col("user_id").alias("e_user"),
+                    F.col("ts").alias("e_ts"),
+                ),
+                cond,
+                "inner",
+            )
+            .select("c_id", "e_id")
+            .collect()
+        }
+        bad = len(got_pairs ^ want_pairs)
+        rows.append(
+            ("stream_stream_join", len(want_pairs), bad, int(bad == 0))
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -23,6 +23,7 @@ def test_st_stateful_suite_self_asserts(spark):
         "index_ingest_probe_parity",
         "ann_ingest_convergence",
         "ann_ingest_probe_parity",
+        "stream_stream_join",
     }
     assert all(r["match"] == 1 and r["n_mismatch"] == 0 for r in rows)
 

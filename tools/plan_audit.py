@@ -268,6 +268,43 @@ EXPECT: dict[str, dict] = {
     # subquery BNLJ); interleave + file id are pure codegen bit ops;
     # one 64-group agg
     "lake_zorder_layout": {"bnlj_ok": True},
+    # constant 20-row trailing frame over the one user_id sort
+    "ev_windowed_anomaly": {},
+    # lag/cumsum/rank share one user_id sort; path count + ranking
+    # window run on the bounded |event_types|^3 path domain
+    "ev_path_topk": {"single_partition_ok": True},
+    # contingency margins/totals broadcast back over <= |X|x|Y| cells;
+    # total row is a 1-row crossJoin (scalar-subquery BNLJ)
+    "a_mutual_information": {"bnlj_ok": True},
+    # cumsum window runs over the FILE INVENTORY (one row per file,
+    # manifest-scale), never data rows; total is a 1-row broadcast
+    "lake_compaction_plan": {"bnlj_ok": True, "single_partition_ok": True},
+    # boundary flag is narrow; cumsum window + chunk groupBy share the
+    # doc_id shuffle; frequency join shuffles on chunk_hash
+    "d_cdc_chunk_dedup": {},
+    # one shuffle on the gram key (first-seen min via window, no join
+    # back), then a doc_id re-aggregation — no pairwise stage; the
+    # explode is evaluated once behind the repartition barrier
+    "t_ngram_novelty": {},
+    # events scan reduces map-side to <=50 bins; totals broadcast back
+    # over those rows (1-row crossJoin = scalar-subquery BNLJ)
+    "a_psi_drift": {"bnlj_ok": True},
+    # one (event_type, hour) shuffle; both windows + the groupBy share
+    # the single within-key sort; output bounded by types x hours
+    "ev_ohlc_bars": {},
+    # merged read is materialized via eager localCheckpoint so the
+    # run-scoped temp layout can be deleted (lake_bucketed_join shape)
+    "lake_schema_evolution": {"checkpoint_result_ok": True},
+    # quartile bounds are a 1-row broadcast crossJoin; keep flags are
+    # map-side hash arithmetic, zero shuffles after the bound join
+    "t_curriculum_sample": {"bnlj_ok": True},
+    # one shuffle on the category key + 1-row broadcast prior
+    # (scalar-subquery BNLJ); output bounded by the category domain
+    "e_target_encoding": {"bnlj_ok": True},
+    # degree build shares _copurchase_oriented (checkpointed edges);
+    # the cumulative windows run on the <=32-row log2-bucket domain
+    "g_degree_distribution": {"checkpoint_result_ok": True,
+                              "single_partition_ok": True},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
