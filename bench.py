@@ -153,6 +153,8 @@ HEADLINE = [
     "t_curriculum_sample",
     "e_target_encoding",
     "g_degree_distribution",
+    "r_kfold_split",
+    "j_asof_nearest",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

@@ -165,6 +165,9 @@ _AGG_MEMBERS: list[Member] = [
     ("target_encoding", "e_target_encoding",
      [("category", "string"), ("n", "num"), ("cat_mean", "double"),
       ("prior_mean", "double"), ("encoded", "double")]),
+    ("kfold_split", "r_kfold_split",
+     [("fold", "num"), ("n", "num"), ("frac", "num"),
+      ("mean_price", "double")]),
 ]
 
 _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
@@ -397,6 +400,9 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("degree_distribution", "g_degree_distribution",
      [("bucket", "num"), ("n_nodes", "num"), ("min_deg", "num"),
       ("max_deg", "num"), ("n_tail", "num"), ("tail_frac", "num")]),
+    ("asof_nearest", "j_asof_nearest",
+     [("c_id", "num"), ("user_id", "num"), ("nearest_error_id", "num"),
+      ("dt_seconds", "num"), ("error_value", "q6")]),
 ]
 
 _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)

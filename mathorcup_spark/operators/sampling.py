@@ -358,3 +358,65 @@ def r_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_hash_u(F.col("doc_id")) < F.col("rate"))
         .select("doc_id", "source", "rate")
     )
+
+
+_KFOLD = 5
+
+
+@register(
+    "r_kfold_split",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(floor({_hash_u_sql('o_orderkey')} * {_KFOLD})
+                  AS BIGINT) AS fold
+      FROM orders
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM f
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(count(*) AS DOUBLE) / any_value(t.n_total)
+                AS DECIMAL(18,6)) AS frac,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 AS DOUBLE) / count(*), 6) AS mean_price
+    FROM f, t GROUP BY fold
+    """,
+    doc="Deterministic k-fold cross-validation assignment (k=5): "
+    "fold = floor(u(key) * k) with the hash-uniform u(o_orderkey) "
+    "(sampling.py) — reproducible across engines, runs, partition "
+    "layouts AND cluster sizes, none of which holds for rand(seed); "
+    "the fold column is what ml_train_validation_select's split "
+    "marker generalizes to for CV (reference M7 trains on a single "
+    "sklearn split, src/main.py). Output is the per-fold audit: "
+    "size, fraction of the corpus, and mean target — balanced "
+    "folds and no target drift across folds are the two properties "
+    "a CV harness must verify before trusting its variance "
+    "estimate. Scale posture: fold assignment is map-side hash "
+    "arithmetic (zero shuffles); the audit is ONE shuffle on the "
+    "k-value fold domain with the total broadcast back.",
+    tags=("R1", "R6", "sampling", "ml", "cv"),
+)
+def r_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    fold = F.floor(_hash_u(F.col("o_orderkey")) * _KFOLD).cast("long")
+    f = orders.select(
+        fold.alias("fold"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+    )
+    t = f.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("double").alias("s"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "fold",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total"))
+            .cast("decimal(18,6)")
+            .alias("frac"),
+            F.round(F.col("s") / F.col("n"), 6).alias("mean_price"),
+        )
+    )

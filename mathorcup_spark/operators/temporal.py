@@ -865,3 +865,82 @@ def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).cast("double").alias("volume"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+_NEAREST_BOUND_US = 1_800_000_000  # +/- 30 min candidate window
+
+
+@register(
+    "j_asof_nearest",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id AS c_id, user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT event_id AS e_id, user_id, epoch_us(ts) AS e_us, value
+      FROM events WHERE event_type = 'error'
+    ), pairs AS (
+      SELECT c.c_id, c.user_id, c.c_us, e.e_id, e.value,
+             abs(e.e_us - c.c_us) AS dt_us,
+             row_number() OVER (
+               PARTITION BY c.c_id
+               ORDER BY abs(e.e_us - c.c_us), e.e_us, e.e_id) AS rn
+      FROM c JOIN e ON e.user_id = c.user_id
+       AND e.e_us BETWEEN c.c_us - {_NEAREST_BOUND_US}
+                      AND c.c_us + {_NEAREST_BOUND_US}
+    )
+    SELECT c_id, user_id, e_id AS nearest_error_id,
+           CAST(dt_us // 1000000 AS BIGINT) AS dt_seconds,
+           value AS error_value
+    FROM pairs WHERE rn = 1
+    """,
+    doc="Nearest-event temporal join: each click picks the CLOSEST "
+    "error event for the same user within +/-30 minutes — either "
+    "direction, unlike j_asof_join's backward-only carry — the "
+    "sensor/log alignment join (nearest reading to each sample). "
+    "Ties break deterministically by (|dt|, error ts, error id). "
+    "Scale posture: the j_range_join shape — ONE shuffle on "
+    "user_id, the +/-30-min bound keeps each key's candidate pairs "
+    "small regardless of total volume, then a per-click top-1 "
+    "window on the SAME key's sort; a full nearest-neighbor sort "
+    "merge is never needed because the bound prunes first. "
+    "Timestamp math is exact integer micros on both engines.",
+    tags=("join", "asof", "temporal"),
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("e_us"),
+        "value",
+    )
+    pairs = c.join(
+        e,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("e_us") >= F.col("c_us") - _NEAREST_BOUND_US)
+        & (F.col("e_us") <= F.col("c_us") + _NEAREST_BOUND_US),
+    )
+    dt = F.abs(F.col("e_us") - F.col("c_us"))
+    rn = F.row_number().over(
+        W.partitionBy("c_id").orderBy(dt, "e_us", "e_id")
+    )
+    return (
+        pairs.withColumn("dt_us", dt)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_id",
+            "user_id",
+            F.col("e_id").alias("nearest_error_id"),
+            (F.col("dt_us") / F.lit(1_000_000))
+            .cast("long")
+            .alias("dt_seconds"),
+            F.col("value").alias("error_value"),
+        )
+    )

@@ -305,6 +305,12 @@ EXPECT: dict[str, dict] = {
     # the cumulative windows run on the <=32-row log2-bucket domain
     "g_degree_distribution": {"checkpoint_result_ok": True,
                               "single_partition_ok": True},
+    # fold assignment is map-side hash arithmetic; audit agg on the
+    # k-value fold domain with the 1-row total broadcast back
+    "r_kfold_split": {"bnlj_ok": True},
+    # j_range_join shape: user_id shuffle, +/-30min bound prunes
+    # per-key pairs, top-1 window reuses the same key's sort
+    "j_asof_nearest": {},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
