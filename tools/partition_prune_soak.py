@@ -42,7 +42,15 @@ from mathorcup_spark.catalog import load  # noqa: E402
 from mathorcup_spark.registry import DEC  # noqa: E402
 from mathorcup_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+# default to the regenerated sf1 replica (10x events) so the scan
+# costs are large enough to separate from fixed JVM/planning costs;
+# falls back to sf0.1 when .data/sf1 is absent
+_SF1 = Path(__file__).resolve().parents[1] / ".data" / "sf1"
+SF_DIR = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else (str(_SF1) if _SF1.exists() else "/root/testdata/sf0.1")
+)
 COPIES = (1, 4, 10)
 PASSES = 3
 
@@ -73,7 +81,9 @@ def main() -> None:
             for k in range(copies):
                 c = base.select(
                     (F.col("event_id") + F.lit(k * max_id)).alias("event_id"),
-                    F.col("ts") + F.expr(f"INTERVAL {k * 30} DAYS"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k * 30} DAYS")).alias(
+                        "ts"
+                    ),
                     "user_id",
                     "event_type",
                     "value",
@@ -108,32 +118,57 @@ def main() -> None:
                 n_flat = _window_query(flat).count()
                 t_flat.append(time.perf_counter() - t0)
             assert n_part == n_flat, (copies, n_part, n_flat)
+
+            # bytes the pruned scan is ALLOWED to touch (the 3
+            # matching day directories) vs the table total — the
+            # signal that matters at 100 TB, where wall-clock at this
+            # SF is planner-dominated either way
+            def _du(p: Path) -> int:
+                return sum(f.stat().st_size for f in p.rglob("*.parquet"))
+
+            total_b = _du(Path(part_dir))
+            win_b = sum(
+                _du(d)
+                for d in Path(part_dir).iterdir()
+                if d.name in ("d=2024-01-03", "d=2024-01-04", "d=2024-01-05")
+            )
             rows.append(
                 (
                     copies,
                     copies * 30,
                     statistics.median(t_part),
                     statistics.median(t_flat),
+                    win_b,
+                    total_b,
                     n_part,
                 )
             )
             print(
                 f"copies={copies}: partitioned {statistics.median(t_part):.2f}s"
-                f" flat {statistics.median(t_flat):.2f}s rows={n_part}",
+                f" flat {statistics.median(t_flat):.2f}s rows={n_part}"
+                f" bytes {win_b}/{total_b}",
                 file=sys.stderr,
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    print("\n| history (days) | pruned scan s | unpartitioned s | result rows |")
-    print("|---|---|---|---|")
-    for copies, days, tp, tf, n in rows:
-        print(f"| {days} | {tp:.2f} | {tf:.2f} | {n} |")
+    print(
+        "\n| history (days) | pruned scan s | unpartitioned s "
+        "| window bytes | table bytes | bytes touched |"
+    )
+    print("|---|---|---|---|---|---|")
+    for copies, days, tp, tf, wb, tb, n in rows:
+        print(
+            f"| {days} | {tp:.2f} | {tf:.2f} | {wb / 1e6:.1f} MB "
+            f"| {tb / 1e6:.1f} MB | {100 * wb / tb:.1f}% |"
+        )
     p1, p10 = rows[0][2], rows[-1][2]
     f1, f10 = rows[0][3], rows[-1][3]
     print(
         f"\npruned factor over 10x history: {p10 / p1:.2f}x; "
-        f"unpartitioned factor: {f10 / f1:.2f}x"
+        f"unpartitioned factor: {f10 / f1:.2f}x; "
+        f"window bytes flat at {rows[-1][4] / 1e6:.1f} MB while the "
+        f"table grew {rows[-1][5] / rows[0][5]:.1f}x"
     )
 
 
