@@ -155,6 +155,8 @@ HEADLINE = [
     "g_degree_distribution",
     "r_kfold_split",
     "j_asof_nearest",
+    "a_two_proportion_ztest",
+    "lake_vacuum_plan",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the
@@ -219,7 +221,15 @@ def _stream_bench(spark) -> dict:
 
 
 def main() -> None:
-    spark = get_spark("mathorcup_spark_bench")
+    # -Xlog:disable silences JVM unified logging, which writes
+    # "[warning][gc,alloc] ..." lines to STDOUT under memory pressure;
+    # a warning landing AFTER the final JSON line would eat into the
+    # driver's 2000-char stdout-tail capture and could hide the line's
+    # head. Spark's own log4j output (stderr) is unaffected.
+    spark = get_spark(
+        "mathorcup_spark_bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
     for name in names:  # codegen/JIT warmup on tiny data

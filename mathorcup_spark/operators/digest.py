@@ -168,6 +168,10 @@ _AGG_MEMBERS: list[Member] = [
     ("kfold_split", "r_kfold_split",
      [("fold", "num"), ("n", "num"), ("frac", "num"),
       ("mean_price", "double")]),
+    ("two_proportion_ztest", "a_two_proportion_ztest",
+     [("n_a", "num"), ("x_a", "num"), ("n_b", "num"), ("x_b", "num"),
+      ("p_a", "q6"), ("p_b", "q6"), ("zscore", "q6"),
+      ("significant", "num")]),
 ]
 
 _agg_oracle, _agg_fn = _digest_suite(_AGG_MEMBERS)
@@ -261,6 +265,10 @@ _LAKE_MEMBERS: list[Member] = [
     ("curriculum_sample", "t_curriculum_sample",
      [("doc_id", "num"), ("n_chars", "num"), ("stratum", "num"),
       ("kept", "num")]),
+    ("vacuum_plan", "lake_vacuum_plan",
+     [("pkey", "string"), ("n_files", "num"), ("n_deletable", "num"),
+      ("bytes_reclaimed", "num"), ("bytes_total", "num"),
+      ("latest_day", "num")]),
     ("gopher_rules", "t_quality_gopher_rules",
      [("doc_id", "num"), ("n_words", "num"), ("mean_word_len", "double"),
       ("alpha_word_frac", "double"), ("stop_hits", "num"),

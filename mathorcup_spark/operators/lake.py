@@ -604,3 +604,83 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_VACUUM_RETAIN_DAYS = 400  # retention horizon before the table's max day
+
+
+@register(
+    "lake_vacuum_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT o_orderpriority AS pkey, o_orderdate AS version_day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                  AS BIGINT) AS file_bytes
+      FROM orders GROUP BY 1, 2
+    ), marked AS (
+      SELECT pkey, version_day, n_rows, file_bytes,
+             max(version_day) OVER (PARTITION BY pkey) AS latest_day,
+             (SELECT max(o_orderdate) FROM orders) AS table_max
+      FROM files
+    )
+    SELECT pkey,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN version_day < latest_day
+                          AND version_day
+                              < table_max - INTERVAL {_VACUUM_RETAIN_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deletable,
+           CAST(sum(CASE WHEN version_day < latest_day
+                          AND version_day
+                              < table_max - INTERVAL {_VACUUM_RETAIN_DAYS} DAY
+                         THEN file_bytes ELSE 0 END) AS BIGINT)
+             AS bytes_reclaimed,
+           CAST(sum(file_bytes) AS BIGINT) AS bytes_total,
+           max(latest_day) AS latest_day
+    FROM marked GROUP BY pkey
+    """,
+    doc="Retention vacuum planning (Delta/Iceberg VACUUM semantics): "
+    "treat each (priority, order-date) slice as one table-version "
+    "file; a file is deletable only if BOTH superseded (not its "
+    "key's latest version) AND older than the retention horizon "
+    "(table max day - 400d) — never the live version, never "
+    "anything a time-travel query inside retention could still "
+    "reference. Emits the per-key audit: file count, deletable "
+    "count, reclaimed vs total bytes, live version day. Pure "
+    "integer/date arithmetic on exact counts, deterministic on "
+    "both engines. Scale posture: like lake_compaction_plan the "
+    "decision runs on the FILE INVENTORY (one row per file, "
+    "manifest-scale); the latest-version window partitions by key "
+    "over that bounded inventory, and the inventory itself "
+    "aggregates from the table in one shuffle on the layout key.",
+    tags=("lake", "vacuum", "retention", "layout"),
+)
+def lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.col("o_orderpriority").alias("pkey"),
+        F.col("o_orderdate").alias("version_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("long")
+        .alias("file_bytes"),
+    )
+    table_max = orders.agg(F.max("o_orderdate").alias("table_max"))
+    latest = F.max("version_day").over(W.partitionBy("pkey"))
+    marked = files.withColumn("latest_day", latest).crossJoin(
+        F.broadcast(table_max)
+    )
+    deletable = (F.col("version_day") < F.col("latest_day")) & (
+        F.col("version_day")
+        < F.date_sub(F.col("table_max"), _VACUUM_RETAIN_DAYS)
+    )
+    return marked.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(deletable.cast("long")).alias("n_deletable"),
+        F.sum(F.when(deletable, F.col("file_bytes")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("bytes_reclaimed"),
+        F.sum("file_bytes").cast("long").alias("bytes_total"),
+        F.max("latest_day").alias("latest_day"),
+    )

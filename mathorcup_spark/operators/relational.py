@@ -1436,3 +1436,78 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n_bins").alias("n_bins"),
         F.sum("psi_term").cast("double").alias("psi"),
     )
+
+
+@register(
+    "a_two_proportion_ztest",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN grp = 0 THEN n END) AS n_a,
+             max(CASE WHEN grp = 0 THEN x END) AS x_a,
+             max(CASE WHEN grp = 1 THEN n END) AS n_b,
+             max(CASE WHEN grp = 1 THEN x END) AS x_b
+      FROM g
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(x_a AS DOUBLE) / n_a AS p_a,
+           CAST(x_b AS DOUBLE) / n_b AS p_b,
+           (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS zscore,
+           CAST(abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))) > 1.959963985
+             AS INTEGER) AS significant
+    FROM w
+    """,
+    doc="Two-proportion z-test: purchase-event rate of the even "
+    "user_id cohort vs the odd cohort (the A/B assignment an "
+    "experimentation platform computes on every metric), pooled "
+    "variance, |z| > 1.96 flags 5% two-sided significance. The "
+    "hypothesis-test primitive complementing a_ks_drift (continuous "
+    "distributions) and a_psi_drift (binned) with the BINARY metric "
+    "case. Counts are exact BIGINTs from ONE shuffle on the 2-value "
+    "cohort key (map-side combine does all the work); the z "
+    "arithmetic is a single-row IEEE expression identical on both "
+    "engines. Scale posture: the scan reduces map-side to 2 rows — "
+    "nothing downstream grows with data.",
+    tags=("agg", "drift", "abtest", "quality"),
+)
+def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy((F.col("user_id") % 2).cast("long").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("x"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        z.alias("zscore"),
+        (F.abs(z) > 1.959963985).cast("int").alias("significant"),
+    )

@@ -311,6 +311,12 @@ EXPECT: dict[str, dict] = {
     # j_range_join shape: user_id shuffle, +/-30min bound prunes
     # per-key pairs, top-1 window reuses the same key's sort
     "j_asof_nearest": {},
+    # scan reduces map-side to 2 cohort rows; z arithmetic is one row
+    "a_two_proportion_ztest": {"single_partition_ok": True},
+    # vacuum decision runs on the file inventory (manifest-scale);
+    # latest-version window partitions by key over bounded rows;
+    # table-max is a 1-row broadcast crossJoin
+    "lake_vacuum_plan": {"bnlj_ok": True},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
