@@ -157,6 +157,7 @@ HEADLINE = [
     "j_asof_nearest",
     "a_two_proportion_ztest",
     "lake_vacuum_plan",
+    "g_community_modularity",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

@@ -411,6 +411,10 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("asof_nearest", "j_asof_nearest",
      [("c_id", "num"), ("user_id", "num"), ("nearest_error_id", "num"),
       ("dt_seconds", "num"), ("error_value", "q6")]),
+    ("community_modularity", "g_community_modularity",
+     [("label", "num"), ("n_nodes", "num"), ("in_c", "num"),
+      ("deg_sum", "num"), ("m2", "num"), ("q_term", "q6"),
+      ("modularity", "q6")]),
 ]
 
 _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)

@@ -958,7 +958,10 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 3
 
 
-def _lpa_oracle() -> str:
+def _lpa_ctes() -> str:
+    """The WITH-body shared by the LPA oracle and the modularity
+    oracle: bipartite edges + _LPA_ROUNDS synchronous label rounds;
+    the final labels live in CTE ``l{_LPA_ROUNDS}``."""
     ctes = [
         """
         pairs AS (
@@ -985,8 +988,12 @@ def _lpa_oracle() -> str:
                                       ORDER BY cnt DESC, label) AS rn
             FROM c{i}) WHERE rn = 1
         )""")
+    return ",".join(ctes)
+
+
+def _lpa_oracle() -> str:
     return (
-        "WITH " + ",".join(ctes)
+        "WITH " + _lpa_ctes()
         + f"""
         SELECT CAST(node AS BIGINT) AS node,
                CAST(label AS BIGINT) AS label
@@ -1015,6 +1022,14 @@ def _lpa_oracle() -> str:
     tags=("graph", "community", "lpa", "iterative"),
 )
 def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, labels = _lpa_core(spark, sf_dir)
+    return labels
+
+
+def _lpa_core(spark: SparkSession, sf_dir: str):
+    """(edges, labels) for the bipartite part<->supplier LPA — the
+    shared construction behind g_label_propagation and
+    g_community_modularity. edges carries BOTH directions."""
     li = load(spark, sf_dir, "lineitem")
     pairs = li.select(
         (2 * F.col("l_suppkey")).alias("a"),
@@ -1042,7 +1057,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"), "label")
             .localCheckpoint(eager=False)
         )
-    return labels.select(
+    return edges, labels.select(
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("label"),
     )
@@ -1228,4 +1243,120 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast(DEC)
         .alias("tail_frac"),
+    )
+
+
+def _modularity_oracle() -> str:
+    return (
+        "WITH " + _lpa_ctes()
+        + f""",
+        lab AS (
+          SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+          FROM l{_LPA_ROUNDS}
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges
+        ), deg AS (
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+          FROM edges GROUP BY src
+        ), intra AS (
+          SELECT ls.label, CAST(count(*) AS BIGINT) AS in_c
+          FROM edges e
+          JOIN lab ls ON ls.node = e.src
+          JOIN lab ld ON ld.node = e.dst AND ld.label = ls.label
+          GROUP BY ls.label
+        ), comm AS (
+          SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d) AS BIGINT) AS deg_sum
+          FROM lab l JOIN deg USING (node) GROUP BY l.label
+        ), terms AS (
+          SELECT c.label, c.n_nodes, coalesce(i.in_c, 0) AS in_c,
+                 c.deg_sum, m.m2,
+                 CAST(CAST(coalesce(i.in_c, 0) AS DOUBLE) / m.m2
+                      - (CAST(c.deg_sum AS DOUBLE) / m.m2)
+                        * (CAST(c.deg_sum AS DOUBLE) / m.m2)
+                   AS DECIMAL(28,14)) AS q_term
+          FROM comm c LEFT JOIN intra i USING (label), m
+        )
+        SELECT label, n_nodes, in_c, deg_sum, m2,
+               CAST(q_term AS DOUBLE) AS q_term,
+               CAST(CAST(sum(q_term) OVER () AS DECIMAL(28,14)) AS DOUBLE)
+                 AS modularity
+        FROM terms
+        """
+    )
+
+
+@register(
+    "g_community_modularity",
+    oracle=_modularity_oracle(),
+    doc="Newman modularity of the LPA communities: Q = sum over "
+    "communities of (intra-edge fraction - squared degree "
+    "fraction) — the standard quality score that says whether the "
+    "community structure g_label_propagation found is better than "
+    "random (Q > 0) and by how much; per-community rows carry the "
+    "audit (size, internal directed edges, degree mass, q_term) "
+    "with the global Q repeated on every row. Reuses the shared "
+    "_lpa_core labels (same fixed-round deterministic contract), "
+    "then: one m2 count, one degree agg on src, one "
+    "double-label-join intra-edge count keyed on node ids, one "
+    "label agg — every shuffle on node/label keys. The q_term "
+    "doubles are identical IEEE arithmetic; the global sum "
+    "accumulates in DECIMAL(28,14) so Q is partitioning- and "
+    "order-independent (the window over all rows runs on the "
+    "bounded community domain). Scale posture: LPA dominates; "
+    "modularity adds joins linear in |E| and aggs bounded by "
+    "|communities|.",
+    tags=("graph", "community", "lpa", "quality"),
+)
+def g_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = _lpa_core(spark, sf_dir)
+    m2 = edges.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ls = labels.select(F.col("node").alias("s_node"), F.col("label").alias("s_label"))
+    ld = labels.select(F.col("node").alias("d_node"), F.col("label").alias("d_label"))
+    intra = (
+        edges.join(ls, edges.src == F.col("s_node"))
+        .join(
+            ld,
+            (edges.dst == F.col("d_node"))
+            & (F.col("d_label") == F.col("s_label")),
+        )
+        .groupBy(F.col("s_label").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("in_c"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("deg_sum"),
+        )
+    )
+    terms = (
+        comm.join(intra, "label", "left")
+        .na.fill({"in_c": 0})
+        .crossJoin(F.broadcast(m2))
+    )
+    q_term = (
+        F.col("in_c").cast("double") / F.col("m2")
+        - (F.col("deg_sum").cast("double") / F.col("m2"))
+        * (F.col("deg_sum").cast("double") / F.col("m2"))
+    ).cast("decimal(28,14)")
+    t = terms.select(
+        "label", "n_nodes", "in_c", "deg_sum", "m2", q_term.alias("q_dec")
+    )
+    return t.select(
+        "label",
+        "n_nodes",
+        "in_c",
+        "deg_sum",
+        "m2",
+        F.col("q_dec").cast("double").alias("q_term"),
+        F.sum("q_dec")
+        .over(W.partitionBy())
+        .cast("decimal(28,14)")
+        .cast("double")
+        .alias("modularity"),
     )

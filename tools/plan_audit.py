@@ -317,6 +317,12 @@ EXPECT: dict[str, dict] = {
     # latest-version window partitions by key over bounded rows;
     # table-max is a 1-row broadcast crossJoin
     "lake_vacuum_plan": {"bnlj_ok": True},
+    # LPA rounds are checkpointed (pagerank discipline); modularity
+    # adds node/label-keyed joins; the global-Q window runs on the
+    # bounded community domain; m2 is a 1-row broadcast crossJoin
+    "g_community_modularity": {"checkpoint_result_ok": True,
+                               "bnlj_ok": True,
+                               "single_partition_ok": True},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
