@@ -158,6 +158,7 @@ HEADLINE = [
     "a_two_proportion_ztest",
     "lake_vacuum_plan",
     "g_community_modularity",
+    "sim_matryoshka_recall",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

@@ -415,6 +415,8 @@ _SPECIALTY_MEMBERS: list[Member] = [
      [("label", "num"), ("n_nodes", "num"), ("in_c", "num"),
       ("deg_sum", "num"), ("m2", "num"), ("q_term", "q6"),
       ("modularity", "q6")]),
+    ("matryoshka_recall", "sim_matryoshka_recall",
+     [("q_id", "num"), ("n_overlap", "num"), ("recall_at_10", "num")]),
 ]
 
 _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)

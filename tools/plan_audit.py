@@ -323,6 +323,11 @@ EXPECT: dict[str, dict] = {
     "g_community_modularity": {"checkpoint_result_ok": True,
                                "bnlj_ok": True,
                                "single_partition_ok": True},
+    # pair cosines evaluated once behind a lazy checkpoint feeding
+    # both ranking branches; broadcast 10-query batch (scalar BNLJ
+    # for the inequality join); overlap agg on bounded 10xK lists
+    "sim_matryoshka_recall": {"checkpoint_result_ok": True,
+                              "bnlj_ok": True},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
