@@ -159,6 +159,8 @@ HEADLINE = [
     "lake_vacuum_plan",
     "g_community_modularity",
     "sim_matryoshka_recall",
+    "t_bpe_train",
+    "d_semantic_dedup",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

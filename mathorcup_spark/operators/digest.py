@@ -239,6 +239,12 @@ _LAKE_MEMBERS: list[Member] = [
       ("dup_span_frac", "double"), ("span_duplicated", "num")]),
     ("bpe_pairs", "t_bpe_pair_counts",
      [("pair", "string"), ("cnt", "num"), ("rnk", "num")]),
+    ("bpe_train", "t_bpe_train",
+     [("round", "num"), ("left_tok", "string"), ("right_tok", "string"),
+      ("merged", "string"), ("pair_count", "num")]),
+    ("semantic_dedup", "d_semantic_dedup",
+     [("vec_id", "num"), ("cent_id", "num"), ("is_survivor", "num"),
+      ("dup_of", "num"), ("dup_cos", "double")]),
     ("quantize", "sim_quantize_int8",
      [("vec_id", "num"), ("scale", "double"), ("rmse", "double"),
       ("max_q", "num"), ("n_dims", "num")]),
@@ -289,7 +295,9 @@ _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
     "event interval join, the three hygiene screens "
     "(decontamination, Gopher repetition, PII), the bigram-LM "
     "rarity screen, repeated-span dedup, BPE pair-count "
-    "statistics, int8 embedding quantization, per-document "
+    "statistics, the 6-round BPE merge TRAINING loop, SemDeDup-"
+    "style cluster-bounded semantic dedup, int8 "
+    "embedding quantization, per-document "
     "character entropy, the incrementally-maintained verdict "
     "pipeline corpus_pipeline_v5, the Gopher-rule composite "
     "quality filter, the small-file compaction plan, "

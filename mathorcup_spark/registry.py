@@ -120,12 +120,15 @@ def oracle_davg(expr: str, alias: str) -> str:
 # columns, so the queries they absorb (d_minhash_lsh, d_simhash,
 # d_lsh_rescore_e2e, s_tsv_parse_ragged, a_grouping_sets,
 # a_pivot_event_values, g_bidirectional_mrr) are verified MORE
-# strongly than by their former individual slots. Exactly three
-# surface queries are rows-only by design (no cross-engine oracle):
-# r_seeded_suite (seeded RNG) and ml_pipeline_suite +
-# ml_kmeans_ivf_ann (MLlib fits). st_stateful_suite gained a DuckDB
-# oracle in round 6 (independently re-derived key counts + pinned
-# zero-mismatch flags), so its readStream checks are hash-verified.
+# strongly than by their former individual slots. Since round 7 the
+# surface has ZERO rows-only queries: the last three (r_seeded_suite,
+# ml_pipeline_suite, ml_kmeans_ivf_ann) adopted the st_stateful
+# pattern — self-asserted (check, n_keys, n_mismatch, ok) rows whose
+# key counts the DuckDB oracle re-derives independently and whose ok
+# flags it pins, with the Spark fn RAISING on any violated condition
+# (pinned per-SF sample checksums for the seeded RNG; metric floors +
+# exact-math/domain invariants for the MLlib fits; recall floors and
+# the beats-fair-baseline comparison for the learned IVF index).
 DRIVER_SURFACE: tuple[str, ...] = (
     "flagship_revenue_by_priority",
     "rel_projection_suite",

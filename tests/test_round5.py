@@ -24,6 +24,7 @@ def test_st_stateful_suite_self_asserts(spark):
         "ann_ingest_convergence",
         "ann_ingest_probe_parity",
         "stream_stream_join",
+        "verdict_ingest_maintenance",
     }
     assert all(r["match"] == 1 and r["n_mismatch"] == 0 for r in rows)
 
@@ -34,13 +35,20 @@ def test_kmeans_ivf_beats_fair_seeded_baseline(spark):
     the query batch. (The registered sim_ivf_ann's ~0.86 recall is
     inflated by query==seed overlap; see the query doc.)"""
     registry._bootstrap()
+    # round 7: the query itself RAISES if kmeans loses to the fair
+    # baseline or misses its recall floors, and returns (check, n_keys,
+    # n_mismatch, ok) rows pinned by its DuckDB oracle — a clean run
+    # with all ok=1 IS the beats-fair-baseline assertion
     rows = {
-        r["method"]: r["recall_at_5"]
+        r["check"]: (r["n_mismatch"], r["ok"])
         for r in registry.REGISTRY["ml_kmeans_ivf_ann"].fn(spark, SF_DIR).collect()
     }
-    assert set(rows) == {"kmeans_ivf", "seeded_ivf", "seeded_ivf_disjoint"}
-    assert rows["kmeans_ivf"] >= rows["seeded_ivf_disjoint"]
-    assert 0.0 <= rows["kmeans_ivf"] <= 1.0
+    assert set(rows) == {
+        "kmeans_recall_floor",
+        "kmeans_ge_disjoint_seeding",
+        "seeded_anchor_floor",
+    }
+    assert all(v == (0, 1) for v in rows.values())
 
 
 def test_digest_declared_columns_must_match_member_schema(spark):
