@@ -161,6 +161,9 @@ HEADLINE = [
     "sim_matryoshka_recall",
     "t_bpe_train",
     "d_semantic_dedup",
+    "t_bpe_encode",
+    "a_bootstrap_ci",
+    "sim_pq_quantize",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

@@ -1375,6 +1375,20 @@ def bpe_pair_counts_of(toks: DataFrame) -> DataFrame:
     tags=("text", "bpe", "tokenizer", "train", "iterative"),
 )
 def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _toks = bpe_train_core(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "round long, left_tok string, right_tok string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_train_core(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The 6-round training loop, returning both the merge table and
+    the final per-word token lists (the trained tokenizer's view of
+    the vocab — what t_bpe_encode joins back onto the corpus)."""
     vocab = bpe_vocab_from(spark, sf_dir).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     toks = vocab
@@ -1411,8 +1425,91 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = toks.select("w", "n", merged.alias("l")).localCheckpoint(
             eager=False
         )
-    return spark.createDataFrame(
-        merges,
-        "round long, left_tok string, right_tok string, "
-        "merged string, pair_count long",
+    return merges, toks
+
+
+def _bpe_encode_oracle() -> str:
+    rounds = ",\n".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))
+    return f"""
+    WITH RECURSIVE words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+      GROUP BY w
+    ),
+    toks_0 AS MATERIALIZED (
+      SELECT w, n, [w[i] for i in generate_series(1, length(w))] AS l
+      FROM words
+    ),
+    {rounds},
+    wt AS MATERIALIZED (
+      SELECT w, CAST(len(l) AS BIGINT) AS wt FROM toks_{_BPE_ROUNDS}
+    ),
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(wt) AS BIGINT) AS n_tokens,
+           round(CAST(sum(length(w)) AS DOUBLE) / sum(wt), 6)
+             AS chars_per_token
+    FROM dw JOIN wt USING (w)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "t_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="Tokenizer APPLICATION — the other half of t_bpe_train: "
+    "encode the corpus with the trained 6-merge BPE vocabulary and "
+    "report per-document token budgets (word count, char count, "
+    "trained-token count, chars-per-token compression). Spark-first "
+    "scale design: encoding is done ONCE PER DISTINCT WORD (the "
+    "trained per-word token lists come straight out of the training "
+    "loop) and broadcast-joined back onto the exploded corpus — the "
+    "standard trick that makes tokenizer application a scan-plus-"
+    "map-side-join, never a per-occurrence re-merge; the per-doc "
+    "aggregation shuffles on doc_id only. The oracle replays "
+    "training to toks_6 in SQL and joins the same way, so the "
+    "trained vocabulary AND every document's token budget are "
+    "hash-verified end to end.",
+    tags=("text", "bpe", "tokenizer", "encode"),
+)
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, toks = bpe_train_core(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    wt = toks.select("w", F.size("l").cast("long").alias("wt"))
+    return (
+        dw.join(F.broadcast(wt), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("wt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
     )

@@ -114,6 +114,9 @@ def _digest_suite(members: list[Member]):
 # ---------------------------------------------------------------------------
 
 _AGG_MEMBERS: list[Member] = [
+    ("bootstrap_ci", "a_bootstrap_ci",
+     [("replicate", "num"), ("n_eff", "num"), ("boot_mean", "double"),
+      ("rank_by_mean", "num")]),
     ("column_stats", "a_column_stats",
      [("mean_acctbal", "double"), ("min_acctbal", "double"),
       ("max_acctbal", "double"), ("n", "num"), ("std_acctbal", "double")]),
@@ -242,9 +245,14 @@ _LAKE_MEMBERS: list[Member] = [
     ("bpe_train", "t_bpe_train",
      [("round", "num"), ("left_tok", "string"), ("right_tok", "string"),
       ("merged", "string"), ("pair_count", "num")]),
+    ("bpe_encode", "t_bpe_encode",
+     [("doc_id", "num"), ("n_words", "num"), ("n_chars", "num"),
+      ("n_tokens", "num"), ("chars_per_token", "double")]),
     ("semantic_dedup", "d_semantic_dedup",
      [("vec_id", "num"), ("cent_id", "num"), ("is_survivor", "num"),
       ("dup_of", "num"), ("dup_cos", "double")]),
+    ("pq_quantize", "sim_pq_quantize",
+     [("vec_id", "num"), ("pq_code", "num"), ("recon_rmse", "double")]),
     ("quantize", "sim_quantize_int8",
      [("vec_id", "num"), ("scale", "double"), ("rmse", "double"),
       ("max_q", "num"), ("n_dims", "num")]),
@@ -296,8 +304,8 @@ _lake_oracle, _lake_fn = _digest_suite(_LAKE_MEMBERS)
     "(decontamination, Gopher repetition, PII), the bigram-LM "
     "rarity screen, repeated-span dedup, BPE pair-count "
     "statistics, the 6-round BPE merge TRAINING loop, SemDeDup-"
-    "style cluster-bounded semantic dedup, int8 "
-    "embedding quantization, per-document "
+    "style cluster-bounded semantic dedup, int8 + product-"
+    "quantization embedding compression, per-document "
     "character entropy, the incrementally-maintained verdict "
     "pipeline corpus_pipeline_v5, the Gopher-rule composite "
     "quality filter, the small-file compaction plan, "

@@ -1511,3 +1511,110 @@ def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 1.959963985).cast("int").alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval — the distributed bootstrap
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # replicates
+# Poisson(1) CDF steps (inverse-CDF sampling via a hash-uniform),
+# truncated at 5 (P[X > 5] < 6e-4; both engines share the literals)
+_POISSON_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def _bootstrap_oracle() -> str:
+    from .sampling import _hash_u_sql
+
+    u = _hash_u_sql("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    steps = " ".join(
+        f"WHEN u < {t} THEN {i}" for i, t in enumerate(_POISSON_CDF)
+    )
+    return f"""
+    WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    w AS (
+      SELECT b, x, CASE {steps} ELSE 5 END AS wt
+      FROM (SELECT b, o_totalprice AS x, {u} AS u FROM orders, reps)
+    ),
+    agg AS (
+      SELECT b, CAST(sum(wt) AS BIGINT) AS n_eff,
+             CAST(sum(CAST(wt * x AS DECIMAL(18,6))) AS DOUBLE) / sum(wt) AS m
+      FROM w GROUP BY b
+    )
+    SELECT CAST(b AS BIGINT) AS replicate, n_eff,
+           round(m, 6) AS boot_mean,
+           CAST(row_number() OVER (ORDER BY m, b) AS BIGINT) AS rank_by_mean
+    FROM agg
+    """
+
+
+def _register_bootstrap() -> None:
+    @register(
+        "a_bootstrap_ci",
+        oracle=_bootstrap_oracle(),
+        doc="Poisson bootstrap of the mean (order value): every row "
+        "draws a hash-deterministic Poisson(1) replication weight "
+        "per replicate (inverse-CDF over the md5-uniform, the "
+        "r_mixture_sample idiom), giving 32 bootstrap replicates of "
+        "mean(o_totalprice) in ONE corpus scan — the bootstrap "
+        "formulation that actually distributes: classic resampling "
+        "needs B passes with global state, Poisson bootstrap is a "
+        "map-side weight column plus one groupBy(replicate) with "
+        "map-side partial aggregation. Output is the replicate table "
+        "with a deterministic rank by mean: ranks 2 and 31 bracket "
+        "the ~93% percentile CI (documented instead of a percentile "
+        "call, whose interpolation rules differ between engines). "
+        "The final ranking window is global but runs over exactly "
+        "B=32 rows at ANY corpus size. Decimal-accumulated sums "
+        "keep replicate means bit-identical to the oracle.",
+        tags=("stats", "bootstrap", "sampling", "A1"),
+    )
+    def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .sampling import _hash_u
+
+        orders = load(spark, sf_dir, "orders")
+        rows = orders.select(
+            F.col("o_orderkey"),
+            F.col("o_totalprice").alias("x"),
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        u = _hash_u(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        wt = F.when(u < _POISSON_CDF[0], 0)
+        for i, t in enumerate(_POISSON_CDF[1:], start=1):
+            wt = wt.when(u < t, i)
+        wt = wt.otherwise(5)
+        agg = (
+            rows.withColumn("wt", wt)
+            .groupBy("b")
+            .agg(
+                F.sum("wt").cast("long").alias("n_eff"),
+                F.sum((F.col("wt") * F.col("x")).cast(DEC)).alias("s"),
+            )
+            .select(
+                "b",
+                "n_eff",
+                (F.col("s").cast("double") / F.col("n_eff")).alias("m"),
+            )
+        )
+        rank = F.row_number().over(W.orderBy("m", "b")).cast("long")
+        return agg.select(
+            F.col("b").cast("long").alias("replicate"),
+            "n_eff",
+            F.round("m", 6).alias("boot_mean"),
+            rank.alias("rank_by_mean"),
+        )
+
+
+_register_bootstrap()

@@ -336,6 +336,16 @@ EXPECT: dict[str, dict] = {
     # stage is a cent_id equi-join (cluster-bounded, never all-pairs);
     # per-vector argmax window partitions on vec_id
     "d_semantic_dedup": {"bnlj_ok": True},
+    # map-side Poisson weights + one groupBy(replicate); the ranking
+    # window is global but runs over exactly B=32 rows at any scale
+    "a_bootstrap_ci": {"single_partition_ok": True},
+    # encode = explode words -> broadcast join the trained per-word
+    # token lists -> one doc_id groupBy (the registered frame is the
+    # encode side; training's per-round plan is audited separately)
+    "t_bpe_encode": {"broadcast": 1},
+    # x8 subspace explode, broadcast 64-row codebook join, argmin
+    # window partitioned by (vec_id, m), one vec_id groupBy
+    "sim_pq_quantize": {"broadcast": 1},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
