@@ -164,6 +164,8 @@ HEADLINE = [
     "t_bpe_encode",
     "a_bootstrap_ci",
     "sim_pq_quantize",
+    "r_poisson_sample",
+    "g_adamic_adar",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

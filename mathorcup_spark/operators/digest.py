@@ -326,6 +326,11 @@ def lake_digest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SPECIALTY_MEMBERS: list[Member] = [
+    ("poisson_sample", "r_poisson_sample",
+     [("o_orderkey", "num"), ("n_copies", "num")]),
+    ("adamic_adar", "g_adamic_adar",
+     [("u", "num"), ("v", "num"), ("n_common", "num"),
+      ("aa_score", "double")]),
     ("q6", "tpch_q6_revenue_forecast", [("revenue", "double")]),
     ("q14", "tpch_q14_promo_revenue", [("promo_revenue", "double")]),
     ("q17", "tpch_q17_small_quantity_revenue", [("avg_yearly", "double")]),
@@ -441,8 +446,9 @@ _spec_oracle, _spec_fn = _digest_suite(_SPECIALTY_MEMBERS)
 @register(
     "specialty_digest_suite",
     oracle=_spec_oracle,
-    doc="Specialty queries full-width digested: the four scalar TPC-H "
-    "shapes (Q6/Q14/Q17/Q19), cohort retention, funnel conversion, "
+    doc="Specialty queries full-width digested: with-replacement "
+    "Poisson sampling, Adamic-Adar link prediction, the four scalar "
+    "TPC-H shapes (Q6/Q14/Q17/Q19), cohort retention, funnel conversion, "
     "gap-based sessionization, lag-gap windows, as-of join, range "
     "join, the persisted LSH ANN "
     "index probe, the persisted incremental MinHash index probe, "

@@ -1372,3 +1372,99 @@ def g_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("modularity"),
     )
+
+
+@register(
+    "g_adamic_adar",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM op a JOIN op b ON a.o = b.o AND b.p > a.p
+    ), adj AS (
+      SELECT p1 AS u, p2 AS v FROM e
+      UNION ALL SELECT p2 AS u, p1 AS v FROM e
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u
+    ), tr AS (
+      SELECT u, v FROM (
+        SELECT a.u, a.v,
+               row_number() OVER (
+                 PARTITION BY a.u ORDER BY dv.d, a.v) AS rn
+        FROM adj a JOIN deg dv ON dv.u = a.v)
+      WHERE rn <= {_NJ_TRUNC_K}
+    ), wed AS (
+      SELECT a.u AS u, b.u AS v,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(round(1.0 / ln(dz.d), 6) AS DECIMAL(18,6)))
+               AS DOUBLE) AS aa_score
+      FROM tr a
+      JOIN tr b ON a.v = b.v AND b.u > a.u
+      JOIN deg dz ON dz.u = a.v
+      WHERE dz.d >= 2
+      GROUP BY a.u, b.u
+    ), cand AS (
+      SELECT w.u, w.v, w.n_common, w.aa_score FROM wed w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.p1 = w.u AND e.p2 = w.v)
+    )
+    SELECT u, v, n_common, round(aa_score, 6) AS aa_score
+    FROM cand
+    ORDER BY aa_score DESC, u, v LIMIT {_NJ_TOPK}
+    """,
+    doc="Adamic-Adar link prediction on the co-purchase graph — the "
+    "second scoring lens beside g_node_jaccard's truncated-set "
+    "Jaccard, on the SAME truncated-neighborhood machinery (top-16 "
+    "lowest-degree-first neighbors per node, wedges bounded at "
+    "|V|·K², existing edges anti-joined out): each common neighbor "
+    "z contributes 1/ln(deg(z)) — rare shared neighbors count more, "
+    "the inverse-frequency idea Jaccard cannot express. Common "
+    "neighbors of degree 1 are excluded (ln 1 = 0 would divide by "
+    "zero; a degree-1 node cannot be a common neighbor of two "
+    "OTHER nodes anyway, so the guard is belt-and-braces). Per-term "
+    "rounding + decimal accumulation keeps the double sum "
+    "partitioning-independent (the dsum discipline); top-50 is "
+    "TakeOrdered, no global sort.",
+    tags=("graph", "similarity", "linkpred"),
+)
+def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, deg, _ = _copurchase_oriented(spark, sf_dir)
+    adj = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    degs = deg.select("p", F.col("d").cast("long").alias("d"))
+    dn = degs.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    rn = F.row_number().over(W.partitionBy("u").orderBy("dv", "v"))
+    tr = (
+        adj.join(dn, "v")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= _NJ_TRUNC_K)
+        .select("u", "v")
+    )
+    a = tr.alias("a")
+    b = tr.alias("b")
+    dz = degs.select(F.col("p").alias("z"), F.col("d").alias("dz"))
+    term = F.round(F.lit(1.0) / F.log(F.col("dz").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    wed = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("b.u") > F.col("a.u")))
+        .join(dz, F.col("a.v") == F.col("z"))
+        .filter(F.col("dz") >= 2)
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(term).cast("double").alias("aa_score"),
+        )
+    )
+    cand = wed.join(
+        edges,
+        (wed["u"] == edges["p1"]) & (wed["v"] == edges["p2"]),
+        "left_anti",
+    )
+    return (
+        cand.select("u", "v", "n_common", F.round("aa_score", 6).alias("aa_score"))
+        .orderBy(F.col("aa_score").desc(), "u", "v")
+        .limit(_NJ_TOPK)
+    )

@@ -264,6 +264,12 @@ EXPECT: dict[str, dict] = {
     # wedge self-join with the degree-capped shared neighbor; top-k
     # via TakeOrderedAndProject (no global sort exchange)
     "g_node_jaccard": {},
+    # same truncated wedge machinery with the 1/ln(deg) term joined
+    # on the shared neighbor; top-k via TakeOrderedAndProject
+    "g_adamic_adar": {},
+    # narrow map + filter, zero shuffles (with-replacement counts
+    # are per-row hash draws)
+    "r_poisson_sample": {},
     # normalization bounds are a 1-row broadcast crossJoin (scalar-
     # subquery BNLJ); interleave + file id are pure codegen bit ops;
     # one 64-group agg
