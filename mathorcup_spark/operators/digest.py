@@ -331,6 +331,16 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("adamic_adar", "g_adamic_adar",
      [("u", "num"), ("v", "num"), ("n_common", "num"),
       ("aa_score", "double")]),
+    ("bpe_train_batched", "t_bpe_train_batched",
+     [("pass_no", "num"), ("batch_rank", "num"), ("left_tok", "string"),
+      ("right_tok", "string"), ("merged", "string"),
+      ("pair_count", "num")]),
+    ("semantic_dedup_learned", "d_semantic_dedup_learned",
+     [("check", "string"), ("n_keys", "num"), ("n_mismatch", "num"),
+      ("ok", "num")]),
+    ("pq_quantize_learned", "sim_pq_quantize_learned",
+     [("check", "string"), ("n_keys", "num"), ("n_mismatch", "num"),
+      ("ok", "num")]),
     ("q6", "tpch_q6_revenue_forecast", [("revenue", "double")]),
     ("q14", "tpch_q14_promo_revenue", [("promo_revenue", "double")]),
     ("q17", "tpch_q17_small_quantity_revenue", [("avg_yearly", "double")]),
