@@ -169,6 +169,7 @@ HEADLINE = [
     "t_bpe_train_batched",
     "d_semantic_dedup_learned",
     "sim_pq_quantize_learned",
+    "sim_pq_adc_ann",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

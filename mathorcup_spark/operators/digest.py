@@ -341,6 +341,9 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("pq_quantize_learned", "sim_pq_quantize_learned",
      [("check", "string"), ("n_keys", "num"), ("n_mismatch", "num"),
       ("ok", "num")]),
+    ("pq_adc_ann", "sim_pq_adc_ann",
+     [("q_id", "num"), ("c_id", "num"), ("adc_d2", "num"),
+      ("rnk", "num")]),
     ("q6", "tpch_q6_revenue_forecast", [("revenue", "double")]),
     ("q14", "tpch_q14_promo_revenue", [("promo_revenue", "double")]),
     ("q17", "tpch_q17_small_quantity_revenue", [("avg_yearly", "double")]),

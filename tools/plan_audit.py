@@ -356,6 +356,10 @@ EXPECT: dict[str, dict] = {
     # x8 subspace explode, broadcast 64-row codebook join, argmin
     # window partitioned by (vec_id, m), one vec_id groupBy
     "sim_pq_quantize": {"broadcast": 1},
+    # ADC search: broadcast 64-row codebook + broadcast 640-row query
+    # LUT onto the narrow unpacked-code frame; one (q_id, c_id)
+    # groupBy; per-query ranking window partitions on q_id
+    "sim_pq_adc_ann": {"broadcast": 2},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
