@@ -170,6 +170,9 @@ HEADLINE = [
     "d_semantic_dedup_learned",
     "sim_pq_quantize_learned",
     "sim_pq_adc_ann",
+    "sim_ivf_pq_ann",
+    "g_personalized_pagerank",
+    "t_dsir_weights",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

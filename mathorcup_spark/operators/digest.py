@@ -344,6 +344,13 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("pq_adc_ann", "sim_pq_adc_ann",
      [("q_id", "num"), ("c_id", "num"), ("adc_d2", "num"),
       ("rnk", "num")]),
+    ("ivf_pq_ann", "sim_ivf_pq_ann",
+     [("q_id", "num"), ("c_id", "num"), ("adc_d2", "num"),
+      ("rnk", "num")]),
+    ("ppr", "g_personalized_pagerank",
+     [("node", "num"), ("ppr", "double")]),
+    ("dsir", "t_dsir_weights",
+     [("doc_id", "num"), ("n_tokens", "num"), ("dsir_logw", "double")]),
     ("q6", "tpch_q6_revenue_forecast", [("revenue", "double")]),
     ("q14", "tpch_q14_promo_revenue", [("promo_revenue", "double")]),
     ("q17", "tpch_q17_small_quantity_revenue", [("avg_yearly", "double")]),

@@ -1468,3 +1468,128 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "u", "v")
         .limit(_NJ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank — random walk with restart to a seed set.
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 16  # seeds = nodes with node % 16 == 0 (supplier side)
+
+
+def _ppr_oracle() -> str:
+    ctes = [
+        f"""
+        pairs AS (
+          SELECT DISTINCT 2 * l_suppkey AS a, 2 * l_partkey + 1 AS b
+          FROM lineitem
+        ), edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b, a FROM pairs
+        ), deg AS (
+          SELECT src, count(*) AS deg FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), ns AS (
+          SELECT count(*) AS n FROM nodes WHERE node % {_PPR_SEED_MOD} = 0
+        ), tele AS (
+          SELECT node,
+                 CASE WHEN node % {_PPR_SEED_MOD} = 0
+                      THEN 1.0 / ns.n ELSE 0.0 END AS tv
+          FROM nodes, ns
+        ), pr0 AS (
+          SELECT node, tv AS pr FROM tele
+        )"""
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(f"""
+        pr{i + 1} AS (
+          SELECT e.dst AS node,
+                 (1 - {_PR_D}) * t.tv + {_PR_D} * CAST(sum(
+                   CAST(p.pr / d.deg AS DECIMAL(20,18))) AS DOUBLE) AS pr
+          FROM edges e
+          JOIN pr{i} p ON p.node = e.src
+          JOIN deg d ON d.src = e.src
+          JOIN tele t ON t.node = e.dst
+          GROUP BY e.dst, t.tv
+        )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+        SELECT node, round(pr, 6) AS ppr FROM pr{_PR_ITERS}
+        """
+    )
+
+
+@register(
+    "g_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    doc=f"Personalized PageRank ({_PR_ITERS} fixed iterations, "
+    f"damping {_PR_D}) over the same bipartite part<->supplier "
+    "graph as g_pagerank_fixed, with the teleport mass restarting "
+    "to a SEED SET (supplier-side nodes with node % "
+    f"{_PPR_SEED_MOD} == 0) instead of uniformly — the random-walk-"
+    "with-restart scoring behind 'similar items to THIS set' "
+    "recommendations and seed-expansion community detection, which "
+    "uniform PageRank cannot express (its scores are query-"
+    "independent). Implementation is g_pagerank_fixed's unrolled "
+    "join+groupBy iteration with ONE change: the per-node teleport "
+    "term (1-d)*tele(v) joins a precomputed teleport frame rather "
+    "than broadcasting the scalar 1/N — seeds carry 1/|S|, everyone "
+    "else 0, and pr0 = tele so walk mass starts at the seeds. "
+    "Neighbor contributions accumulate through decimal(20,18) "
+    "(the g_pagerank_fixed discipline) so per-node sums are exact, "
+    "order-independent, and bit-identical to the oracle's single-"
+    "threaded recursive-CTE replay at any partitioning. Scale "
+    "posture: identical to PageRank — one edges-to-ranks hash join "
+    "+ one groupBy(dst) per iteration, teleport join is on the "
+    "already-shuffled node key; |S| never appears in a driver loop.",
+    tags=("graph", "pagerank", "ppr", "linkpred"),
+)
+def g_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (2 * F.col("l_suppkey")).alias("a"),
+        (2 * F.col("l_partkey") + 1).alias("b"),
+    ).distinct()
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ns = nodes.filter(F.col("node") % _PPR_SEED_MOD == 0).agg(
+        F.count("*").alias("n")
+    )
+    tele = nodes.crossJoin(F.broadcast(ns)).select(
+        "node",
+        F.when(
+            F.col("node") % _PPR_SEED_MOD == 0, F.lit(1.0) / F.col("n")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tv"),
+    ).localCheckpoint(eager=False)
+    pr = tele.select("node", F.col("tv").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("deg")).cast(_PR_DEC).alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").cast("double").alias("s"))
+            .join(tele, "node")
+            .select(
+                "node",
+                (
+                    F.lit(1 - _PR_D) * F.col("tv")
+                    + F.lit(_PR_D) * F.col("s")
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", 6).alias("ppr"))

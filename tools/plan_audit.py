@@ -360,6 +360,17 @@ EXPECT: dict[str, dict] = {
     # LUT onto the narrow unpacked-code frame; one (q_id, c_id)
     # groupBy; per-query ranking window partitions on q_id
     "sim_pq_adc_ann": {"broadcast": 2},
+    # coarse crossJoin against the 8-row centroid frame is the
+    # intended constant-size BNLJ (the sim_ivf_ann shape); codebook
+    # + LUT joins broadcast
+    "sim_ivf_pq_ann": {"bnlj_ok": True},
+    # teleport-frame join replaces g_pagerank_fixed's 1-row scalar
+    # broadcast; same unrolled iteration shape otherwise
+    "g_personalized_pagerank": {"bnlj_ok": True},
+    # the two-scalar totals row joins conditionlessly onto the
+    # 64-bucket histogram (1-row BNLJ); the log-ratio frame then
+    # broadcasts back onto the token stream
+    "t_dsir_weights": {"bnlj_ok": True, "broadcast": 1},
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
