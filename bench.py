@@ -292,6 +292,13 @@ def _ingest_bench(spark) -> list[dict]:
                 "input_rows": n_rows,
                 "elapsed_sec": round(elapsed, 3),
                 "rows_per_sec": round(n_rows / elapsed, 1),
+                # the dominant term is FIXED cost per micro-batch
+                # (probe join + partitioned append), not per-row work
+                # — tools/mh_append_soak.py shows it flat vs index
+                # size; rows/s scales with batch size, so production
+                # throughput = batch_rows / sec_per_batch
+                "n_batches": 4,
+                "sec_per_batch": round(elapsed / 4, 2),
             }
         )
 
