@@ -584,6 +584,13 @@ def audit_executed_plans(spark, qs) -> tuple[list[str], dict[str, list[str]]]:
                 "semantic dedup core",
                 lambda: qs["d_semantic_dedup"](spark, SF_DIR),
             ),
+            # runtime is the per-subspace KMeans fits; the Spark-plan
+            # half is the same quantize pipeline the deterministic
+            # variant runs end to end
+            "sim_pq_quantize_learned": (
+                "PQ quantize core",
+                lambda: qs["sim_pq_quantize"](spark, SF_DIR),
+            ),
             "t_bpe_train": ("per-pass pair counts", _bpe_pass_stage),
             "t_bpe_train_batched": (
                 "per-pass pair counts",
