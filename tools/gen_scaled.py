@@ -36,6 +36,10 @@ def main() -> None:
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     spark = get_spark("gen_scaled")
 
+    # stride = max + 1: shifting by max alone collides the boundary
+    # key of each copy with the next copy's first key (one duplicate
+    # id per copy — 9 dup vec_ids at x10, caught by
+    # d_semantic_dedup_learned's all_assigned count at sf1)
     maxes = {
         "cust": load(spark, src, "customer").agg(F.max("c_custkey")).first()[0],
         "supp": load(spark, src, "supplier").agg(F.max("s_suppkey")).first()[0],
@@ -54,7 +58,7 @@ def main() -> None:
         )
         for col, key in shifts.items():
             copies = copies.withColumn(
-                col, (F.col(col) + F.col("_i") * F.lit(maxes[key])).cast("long")
+                col, (F.col(col) + F.col("_i") * F.lit(maxes[key] + 1)).cast("long")
             )
         if extra is not None:
             copies = extra(copies)

@@ -7,7 +7,7 @@ g_adamic_adar, g_node_jaccard, g_bfs_distance, g_label_propagation)
 extrapolated from it. This probe measures the NEXT decade: a
 key-shifted x10 replica of .data/sf1's lineitem (the only table the
 five ops read — l_orderkey / l_partkey / l_suppkey shifted by
-copy_index * max_key, so the graph becomes 10 disjoint copies: |E|
+copy_index * (max_key + 1), so the graph becomes 10 disjoint copies: |E|
 exactly 10x, per-node structure unchanged, the same construction
 gen_scaled.py uses for the first decade), then each op timed at sf1
 and at the x10 dir.
@@ -59,13 +59,13 @@ def build_x10(spark, src: str, out: str) -> None:
         "_i", F.explode(F.array(*[F.lit(i) for i in range(N_COPIES)]))
     )
     shifted = copies.select(
-        (F.col("l_orderkey") + F.col("_i") * F.lit(maxes["o"]))
+        (F.col("l_orderkey") + F.col("_i") * F.lit(maxes["o"] + 1))
         .cast("long")
         .alias("l_orderkey"),
-        (F.col("l_partkey") + F.col("_i") * F.lit(maxes["p"]))
+        (F.col("l_partkey") + F.col("_i") * F.lit(maxes["p"] + 1))
         .cast("long")
         .alias("l_partkey"),
-        (F.col("l_suppkey") + F.col("_i") * F.lit(maxes["s"]))
+        (F.col("l_suppkey") + F.col("_i") * F.lit(maxes["s"] + 1))
         .cast("long")
         .alias("l_suppkey"),
     )
