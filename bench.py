@@ -173,6 +173,12 @@ HEADLINE = [
     "sim_ivf_pq_ann",
     "g_personalized_pagerank",
     "t_dsir_weights",
+    "ts_ewma_smooth",
+    "a_chi2_independence",
+    "a_frequent_pairs",
+    "t_pmi_cooccur",
+    "g_hits_scores",
+    "ml_als_recommend",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

@@ -1884,3 +1884,100 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr").cast("double").alias("dsir_logw"),
         )
     )
+
+
+# --- PMI co-occurrence -------------------------------------------------------
+
+_PMI_TOP_TERMS = 32  # global vocabulary cap for the pair stage
+
+
+@register(
+    "t_pmi_cooccur",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), df AS (
+      SELECT term, count(*) AS df FROM w GROUP BY term
+    ), top AS (
+      SELECT term, df FROM (
+        SELECT term, df,
+               row_number() OVER (ORDER BY df DESC, term) AS rnk
+        FROM df
+      ) r WHERE rnk <= {_PMI_TOP_TERMS}
+    ), tw AS (
+      SELECT w.doc_id, w.term, top.df FROM w JOIN top USING (term)
+    ), pair AS (
+      SELECT a.term AS t1, b.term AS t2,
+             max(a.df) AS n1, max(b.df) AS n2,
+             count(*) AS n12
+      FROM tw a JOIN tw b ON b.doc_id = a.doc_id AND b.term > a.term
+      GROUP BY a.term, b.term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t1, t2, CAST(n12 AS BIGINT) AS n12,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(ln(CAST(n12 AS DOUBLE) * n.n_docs / n1 / n2), 6) AS pmi
+    FROM pair CROSS JOIN n
+    """,
+    doc="Pointwise mutual information between the corpus's top "
+    f"{_PMI_TOP_TERMS} terms (by document frequency, term "
+    "tiebreak): pmi(t1,t2) = ln(P(t1,t2) / (P(t1) P(t2))) over "
+    "document-level presence — the collocation / topic-pair signal "
+    "corpus curation uses to spot templated co-occurrence. The "
+    "vocabulary cap is what makes the pair stage scale-safe: "
+    "presence rows are first semi-joined to the top-K vocabulary "
+    "(a K-row broadcast), so the per-doc self-join fan-out is "
+    "bounded by C(K,2) regardless of document length or corpus "
+    "size, and the pair aggregate is one shuffle on (t1, t2) with "
+    "map-side partials. Counts are exact integers; only the final "
+    "ln runs in double, rounded to 6 (same discipline as "
+    "t_tfidf_top_terms's idf).",
+    tags=("text", "pmi", "cooccurrence"),
+)
+def t_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+        ).alias("term"),
+    ).distinct()
+    df = words.groupBy("term").agg(F.count("*").alias("df"))
+    # TakeOrderedAndProject, NOT a global row_number window: the top-K
+    # of an unbounded vocabulary must never move every term to one
+    # partition — each task keeps its local K and the driver merges.
+    top = df.orderBy(F.desc("df"), "term").limit(_PMI_TOP_TERMS)
+    tw = words.join(F.broadcast(top), "term")
+    a = tw.select("doc_id", F.col("term").alias("t1"), F.col("df").alias("df1"))
+    b = tw.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("term").alias("t2"),
+        F.col("df").alias("df2"),
+    )
+    pair = (
+        a.join(b, (F.col("doc2") == F.col("doc_id")) & (F.col("t2") > F.col("t1")))
+        .groupBy("t1", "t2")
+        .agg(
+            F.max("df1").alias("n1"),
+            F.max("df2").alias("n2"),
+            F.count("*").alias("n12"),
+        )
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return pair.crossJoin(F.broadcast(n)).select(
+        "t1",
+        "t2",
+        "n12",
+        "n1",
+        "n2",
+        F.round(
+            F.log(
+                F.col("n12").cast("double")
+                * F.col("n_docs")
+                / F.col("n1")
+                / F.col("n2")
+            ),
+            6,
+        ).alias("pmi"),
+    )

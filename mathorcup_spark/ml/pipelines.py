@@ -359,3 +359,73 @@ def ml_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return summary.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+ALS_TOP_K = 3
+ALS_N_QUERY_USERS = 100
+
+
+def als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-style rating matrix: customer x part, rating = total
+    quantity purchased (orders→lineitem join, one groupBy)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+
+
+@register(
+    "ml_als_recommend",
+    oracle=None,
+    doc="Collaborative-filtering recommender: ALS matrix "
+    "factorization (rank 8, 5 iterations, seeded) on the customer x "
+    "part purchase-quantity matrix, then top-3 part recommendations "
+    "for the 100 lowest-id active customers via "
+    "recommendForUserSubset — bounded query fan-out, NOT "
+    "recommendForAllUsers, so the scoring stage is "
+    "O(subset x items) regardless of user-base size (at 100 TB the "
+    "subset is whatever batch the serving layer asks for). MLlib "
+    "ALS itself is the scale path: block-partitioned factors, "
+    "no driver-side matrix. The capability extends the reference's "
+    "embedding-pretrain family (M1, src/model.py RGCN embeddings) "
+    "to the user-item recommendation task. Rows-only check (seeded "
+    "fit); quality/consistency floors are hash-verified by the "
+    "als_recommender check row in ml_pipeline_suite.",
+    tags=("ml", "als", "M1"),
+)
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.recommendation import ALS
+
+    ratings = als_ratings(spark, sf_dir)
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        seed=SEED,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = (
+        ratings.select("user").distinct().orderBy("user").limit(ALS_N_QUERY_USERS)
+    )
+    recs = model.recommendForUserSubset(users, ALS_TOP_K)
+    ex = recs.select(
+        "user", F.posexplode("recommendations").alias("pos", "rec")
+    )
+    return ex.select(
+        F.col("user").cast("long").alias("custkey"),
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.col("rec.item").cast("long").alias("partkey"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )

@@ -171,6 +171,9 @@ _AGG_MEMBERS: list[Member] = [
     ("kfold_split", "r_kfold_split",
      [("fold", "num"), ("n", "num"), ("frac", "num"),
       ("mean_price", "double")]),
+    ("chi2_independence", "a_chi2_independence",
+     [("event_type", "string"), ("value_bucket", "num"), ("n_obs", "num"),
+      ("expected", "double"), ("chi2_term", "double")]),
     ("two_proportion_ztest", "a_two_proportion_ztest",
      [("n_a", "num"), ("x_a", "num"), ("n_b", "num"), ("x_b", "num"),
       ("p_a", "q6"), ("p_b", "q6"), ("zscore", "q6"),
@@ -351,6 +354,19 @@ _SPECIALTY_MEMBERS: list[Member] = [
      [("node", "num"), ("ppr", "double")]),
     ("dsir", "t_dsir_weights",
      [("doc_id", "num"), ("n_tokens", "num"), ("dsir_logw", "double")]),
+    # ewma is a RAW double (exact-decimal num/den, final division in
+    # IEEE double) — q6-quantized, not rounded (digest kind contract).
+    ("ewma", "ts_ewma_smooth",
+     [("event_id", "num"), ("user_id", "num"), ("ts", "num"),
+      ("value", "q6"), ("ewma", "q6")]),
+    ("frequent_pairs", "a_frequent_pairs",
+     [("p1", "num"), ("p2", "num"), ("pair_n", "num"), ("n1", "num"),
+      ("n2", "num"), ("lift", "double")]),
+    ("pmi", "t_pmi_cooccur",
+     [("t1", "string"), ("t2", "string"), ("n12", "num"), ("n1", "num"),
+      ("n2", "num"), ("pmi", "double")]),
+    ("hits", "g_hits_scores",
+     [("node", "num"), ("kind", "string"), ("score", "double")]),
     ("q6", "tpch_q6_revenue_forecast", [("revenue", "double")]),
     ("q14", "tpch_q14_promo_revenue", [("promo_revenue", "double")]),
     ("q17", "tpch_q17_small_quantity_revenue", [("avg_yearly", "double")]),

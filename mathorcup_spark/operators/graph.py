@@ -1593,3 +1593,121 @@ def g_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", F.round("pr", 6).alias("ppr"))
+
+
+# --- HITS hubs & authorities (fixed-iteration, exact parity) ----------------
+
+_HITS_ITERS = 2
+# Contributions are normalized scores (< 10): decimal(20,18) keeps the
+# per-edge terms exact (same discipline as _PR_DEC). Round totals can
+# reach the edge count, so they accumulate at a coarser scale.
+_HITS_DEC_C = "decimal(20,18)"
+_HITS_DEC_T = "decimal(28,12)"
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """
+        pairs AS (
+          SELECT DISTINCT 2 * l_suppkey AS s, 2 * l_partkey + 1 AS p
+          FROM lineitem
+        ), hub0 AS (
+          SELECT DISTINCT s, CAST(1.0 AS DOUBLE) AS h FROM pairs
+        )"""
+    ]
+    prev = "hub0"
+    for i in range(1, _HITS_ITERS + 1):
+        ctes.append(f"""
+        auth{i}r AS (
+          SELECT p, CAST(sum(CAST(h AS DECIMAL(20,18))) AS DOUBLE) AS ar
+          FROM pairs JOIN {prev} USING (s) GROUP BY p
+        ), auth{i}t AS (
+          SELECT CAST(sum(CAST(ar AS DECIMAL(28,12))) AS DOUBLE) AS t
+          FROM auth{i}r
+        ), auth{i} AS (
+          SELECT p, ar / t AS a FROM auth{i}r CROSS JOIN auth{i}t
+        ), hub{i}r AS (
+          SELECT s, CAST(sum(CAST(a AS DECIMAL(20,18))) AS DOUBLE) AS hr
+          FROM pairs JOIN auth{i} USING (p) GROUP BY s
+        ), hub{i}t AS (
+          SELECT CAST(sum(CAST(hr AS DECIMAL(28,12))) AS DOUBLE) AS t
+          FROM hub{i}r
+        ), hub{i} AS (
+          SELECT s, hr / t AS h FROM hub{i}r CROSS JOIN hub{i}t
+        )""")
+        prev = f"hub{i}"
+    k = _HITS_ITERS
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+        SELECT s AS node, 'hub' AS kind, round(h, 6) AS score FROM hub{k}
+        UNION ALL
+        SELECT p, 'auth', round(a, 6) FROM auth{k}
+        """
+    )
+
+
+@register(
+    "g_hits_scores",
+    oracle=_hits_oracle(),
+    doc=f"HITS hubs-and-authorities, {_HITS_ITERS} fixed iterations "
+    "over the directed supplier->part edge list from lineitem "
+    "(suppliers are pure hubs, parts pure authorities on this "
+    "bipartite graph — the structure PageRank's undirected variant "
+    "blurs). Each half-iteration is ONE hash join of the edge list "
+    "to the current score frame + one keyed aggregate; L1 "
+    "normalization replaces the textbook L2 so every floating step "
+    "is either an exact decimal accumulation or a per-row IEEE "
+    "division — bit-identical on both engines (sqrt is not). The "
+    "edge list is localCheckpointed once and reused by all "
+    "iterations (same discipline as g_pagerank_fixed); per-edge "
+    "contributions accumulate in DECIMAL(20,18), round totals in "
+    "DECIMAL(28,12), so the value hash is exact. Oracle replays "
+    "the identical lockstep recursion as chained CTEs. At 100 TB "
+    "the per-iteration cost is the pagerank bound: one shuffle on "
+    "each side of the bipartition, no global state beyond two "
+    "1-row totals.",
+    tags=("graph", "hits", "G4"),
+)
+def g_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (2 * F.col("l_suppkey")).alias("s"),
+        (2 * F.col("l_partkey") + 1).alias("p"),
+    ).distinct()
+    pairs = pairs.localCheckpoint(eager=False)
+
+    def l1_normalize(raw: DataFrame, val: str, out: str) -> DataFrame:
+        tot = raw.agg(
+            F.sum(F.col(val).cast(_HITS_DEC_T)).cast("double").alias("t")
+        )
+        return raw.crossJoin(F.broadcast(tot)).select(
+            raw.columns[0], (F.col(val) / F.col("t")).alias(out)
+        )
+
+    hub = pairs.select("s").distinct().select("s", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            pairs.join(hub, "s")
+            .groupBy("p")
+            .agg(F.sum(F.col("h").cast(_HITS_DEC_C)).cast("double").alias("ar"))
+        )
+        auth = l1_normalize(araw, "ar", "a")
+        hraw = (
+            pairs.join(auth, "p")
+            .groupBy("s")
+            .agg(F.sum(F.col("a").cast(_HITS_DEC_C)).cast("double").alias("hr"))
+        )
+        hub = l1_normalize(hraw, "hr", "h")
+    hubs = hub.select(
+        F.col("s").alias("node"),
+        F.lit("hub").alias("kind"),
+        F.round("h", 6).alias("score"),
+    )
+    auths = auth.select(
+        F.col("p").alias("node"),
+        F.lit("auth").alias("kind"),
+        F.round("a", 6).alias("score"),
+    )
+    return hubs.unionAll(auths)

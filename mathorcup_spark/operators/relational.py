@@ -1618,3 +1618,178 @@ def _register_bootstrap() -> None:
 
 
 _register_bootstrap()
+
+
+# --- Market-basket frequent pairs -------------------------------------------
+
+_FP_MIN_SUPPORT = 2  # orders containing the pair
+
+
+@register(
+    "a_frequent_pairs",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pair AS (
+      SELECT a.p AS p1, b.p AS p2, count(*) AS pair_n
+      FROM baskets a JOIN baskets b ON b.o = a.o AND b.p > a.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= {_FP_MIN_SUPPORT}
+    ), item AS (
+      SELECT p, count(*) AS item_n FROM baskets GROUP BY p
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    )
+    SELECT pair.p1, pair.p2, CAST(pair.pair_n AS BIGINT) AS pair_n,
+           CAST(i1.item_n AS BIGINT) AS n1,
+           CAST(i2.item_n AS BIGINT) AS n2,
+           round(CAST(pair.pair_n AS DOUBLE) * n.n_orders
+                 / i1.item_n / i2.item_n, 6) AS lift
+    FROM pair
+    JOIN item i1 ON i1.p = pair.p1
+    JOIN item i2 ON i2.p = pair.p2
+    CROSS JOIN n
+    """,
+    doc="Market-basket frequent part pairs over orders (exact "
+    "support counting, the degenerate-but-dominant k=2 case of "
+    "FP-growth that real retail pipelines ship): baskets are the "
+    "distinct (order, part) list, candidate pairs come from ONE "
+    "self-join keyed on the order key with p1 < p2 — fan-out per "
+    "order is C(lines, 2), bounded by the per-order line cap (7 in "
+    "TPC-H; a real pipeline caps basket size the same way, since an "
+    "uncapped mega-basket is quadratic), so the pair stage is "
+    "linear in orders at 100 TB and never an all-parts crossJoin. "
+    "Pairs below min_support=2 are dropped BEFORE the item-count "
+    "join, collapsing the output to the interesting tail. lift = "
+    "support(p1,p2) * N / (support(p1) * support(p2)) — > 1 means "
+    "the parts co-occur more than independence predicts. Integer "
+    "counts divide in double with an identical expression tree on "
+    "both engines, rounded to 6.",
+    tags=("agg", "basket", "frequent-itemset", "A16"),
+)
+def a_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = baskets.select("o", F.col("p").alias("p1"))
+    b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pair = (
+        a.join(b, (F.col("o2") == F.col("o")) & (F.col("p2") > F.col("p1")))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= _FP_MIN_SUPPORT)
+    )
+    item = baskets.groupBy("p").agg(F.count("*").alias("item_n"))
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    i1 = item.select(F.col("p").alias("p1"), F.col("item_n").alias("n1"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("item_n").alias("n2"))
+    return (
+        pair.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "pair_n",
+            "n1",
+            "n2",
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / F.col("n1")
+                / F.col("n2"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --- Chi-squared independence test ------------------------------------------
+
+_CHI2_BUCKET_WIDTH = 50.0  # fixed-width value buckets, capped at 5
+
+
+@register(
+    "a_chi2_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type AS x,
+             least(CAST(floor(value / {_CHI2_BUCKET_WIDTH}) AS BIGINT), 5)
+               AS y,
+             CAST(count(*) AS BIGINT) AS c_xy
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      -- complete the grid: chi2 is over EVERY (x, y) cell of the
+      -- observed domains; zero-observed cells contribute `expected`
+      SELECT gx.x, gy.y, coalesce(obs.c_xy, 0) AS c_xy
+      FROM (SELECT DISTINCT x FROM obs) gx
+      CROSS JOIN (SELECT DISTINCT y FROM obs) gy
+      LEFT JOIN obs ON obs.x = gx.x AND obs.y = gy.y
+    ), t AS (
+      SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM c
+    ), mx AS (
+      SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM c GROUP BY x
+    ), my AS (
+      SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM c GROUP BY y
+    )
+    SELECT c.x AS event_type, c.y AS value_bucket,
+           c.c_xy AS n_obs,
+           round(CAST(mx.c_x AS DOUBLE) * my.c_y / t.n, 6) AS expected,
+           round(
+             (c.c_xy - CAST(mx.c_x AS DOUBLE) * my.c_y / t.n)
+             * (c.c_xy - CAST(mx.c_x AS DOUBLE) * my.c_y / t.n)
+             / (CAST(mx.c_x AS DOUBLE) * my.c_y / t.n), 6) AS chi2_term
+    FROM c JOIN mx USING (x) JOIN my USING (y), t
+    """,
+    doc="Chi-squared test of independence between event_type and a "
+    "fixed-width value bucket (floor(value/50) capped at 5) — the "
+    "third member of the drift/association family next to "
+    "a_mutual_information (effect size in bits) and "
+    "a_two_proportion_ztest (two-group rates): the per-cell "
+    "(observed - expected)^2 / expected terms this emits sum to "
+    "the chi2 statistic whose tail the analyst reads off a table "
+    "with (|X|-1)(|Y|-1) dof. The contingency grid is COMPLETED "
+    "(distinct types x distinct buckets, zero-filled) before "
+    "scoring: zero-observed cells contribute their full `expected` "
+    "term, and expected margins reconcile exactly with observed "
+    "margins (pytest pins this). Per-cell rows (not just the "
+    "scalar) so the hash pins every margin product. Same scale "
+    "posture as "
+    "MI: ONE shuffle on the (type, bucket) pair builds the "
+    "contingency table — margins, totals and all arithmetic derive "
+    "from those <= |X|x|Y| broadcast-scale rows; exact BIGINT "
+    "counts, identical IEEE double expression trees, rounded to 6.",
+    tags=("agg", "drift", "quality"),
+)
+def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.least(
+            F.floor(F.col("value") / _CHI2_BUCKET_WIDTH).cast("long"), F.lit(5)
+        ).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    # complete the |X| x |Y| grid so zero-observed cells carry their
+    # `expected` chi2 term (both domains are broadcast-scale)
+    grid = obs.select("x").distinct().crossJoin(obs.select("y").distinct())
+    c = grid.join(obs, ["x", "y"], "left").select(
+        "x", "y", F.coalesce("c_xy", F.lit(0).cast("long")).alias("c_xy")
+    )
+    t = c.agg(F.sum("c_xy").cast("long").alias("n"))
+    mx = c.groupBy("x").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    my = c.groupBy("y").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    exp = F.col("c_x").cast("double") * F.col("c_y") / F.col("n")
+    dev = F.col("c_xy") - exp
+    return (
+        c.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("x").alias("event_type"),
+            F.col("y").alias("value_bucket"),
+            F.col("c_xy").alias("n_obs"),
+            F.round(exp, 6).alias("expected"),
+            F.round(dev * dev / exp, 6).alias("chi2_term"),
+        )
+    )

@@ -22,6 +22,7 @@ its members.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import REGISTRY, register
@@ -1116,6 +1117,9 @@ def tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM customer), 0, 1
     UNION ALL SELECT 'train_val_select', 2, 0, 1
     UNION ALL SELECT 'checkpoint_roundtrip', 1, 0, 1
+    UNION ALL SELECT 'als_recommender',
+           (SELECT CAST(least(count(DISTINCT o_custkey), 100) * 3 AS BIGINT)
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey), 0, 1
     """,
     doc="M1-M7 + G4 + S9 composed, driver-verified (HASH-green via "
     "the st_stateful self-asserted-check-row pattern, judge r6 item "
@@ -1295,6 +1299,45 @@ def ml_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     add("checkpoint_roundtrip", 1, {
         "roundtrip_exact": bool(ck["roundtrip_exact"]),
         "nonempty": int(ck["n_mem"]) > 0 and int(ck["n_ckpt"]) > 0,
+    })
+
+    # ALS recommender: exactly top-3 per queried user, ranks 1..3,
+    # scores finite and non-increasing, items from the observed
+    # domain; the oracle re-derives the expected rec count as
+    # least(active customers, 100) * 3 from orders x lineitem
+    from ..ml.pipelines import ALS_N_QUERY_USERS, ALS_TOP_K, als_ratings
+
+    n_active = int(
+        als_ratings(spark, sf_dir).select("user").distinct().count()
+    )
+    n_expected = min(n_active, ALS_N_QUERY_USERS) * ALS_TOP_K
+    recs = REGISTRY["ml_als_recommend"].fn(spark, sf_dir)
+    item_dom = als_ratings(spark, sf_dir).select(
+        F.col("item").cast("long").alias("partkey")
+    ).distinct()
+    wu = Window.partitionBy("custkey").orderBy("rnk")
+    per_user = recs.withColumn("prev_score", F.lag("score").over(wu))
+    r = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("custkey").alias("n_users"),
+        F.count(F.when(F.isnull("score") | F.isnan("score"), 1)).alias("bad"),
+        F.count(
+            F.when(
+                F.col("prev_score").isNotNull()
+                & (F.col("score") > F.col("prev_score") + 1e-6),
+                1,
+            )
+        ).alias("inversions"),
+        F.count(F.when(~F.col("rnk").isin(1, 2, 3), 1)).alias("badrnk"),
+    ).first()
+    n_foreign = recs.join(item_dom, "partkey", "left_anti").count()
+    add("als_recommender", n_expected, {
+        "rec_count_exact": int(r["n"]) == n_expected,
+        "three_per_user": int(r["n_users"]) * ALS_TOP_K == n_expected
+        and int(r["badrnk"]) == 0,
+        "finite_scores": int(r["bad"]) == 0,
+        "scores_descending": int(r["inversions"]) == 0,
+        "items_in_domain": int(n_foreign) == 0,
     })
 
     if fails:

@@ -944,3 +944,89 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("error_value"),
         )
     )
+
+
+# --- EWMA smoothing (finite-memory, exact cross-engine parity) --------------
+
+_EWMA_ALPHA = 0.2  # smoothing factor; retention = 1 - alpha = 0.8
+_EWMA_K = 8  # trailing observations per estimate (finite memory)
+# 0.8^k for k = 0..7 — every power of 0.8 is an EXACT decimal (8^k/10^k),
+# so casting the literals to DECIMAL keeps the weighted sum bit-identical
+# on both engines (registry docstring: sum doubles through decimal).
+_EWMA_W = [str(round(0.8**k, 7)) for k in range(_EWMA_K)]
+
+
+def _ewma_oracle() -> str:
+    terms = []
+    dens = []
+    for k, w in enumerate(_EWMA_W):
+        lag = f"lag(value, {k}) OVER w" if k else "value"
+        terms.append(
+            f"coalesce(CAST(CAST({lag} AS DECIMAL(18,6))"
+            f" * CAST({w} AS DECIMAL(18,7)) AS DECIMAL(24,13)),"
+            f" CAST(0 AS DECIMAL(24,13)))"
+        )
+        dens.append(
+            f"CASE WHEN {lag} IS NOT NULL"
+            f" THEN CAST({w} AS DECIMAL(18,7))"
+            f" ELSE CAST(0 AS DECIMAL(18,7)) END"
+        )
+    num = " + ".join(terms)
+    den = " + ".join(dens)
+    return f"""
+    SELECT event_id, user_id, ts, value,
+           CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE) AS ewma
+    FROM events
+    WHERE event_type = 'view'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "ts_ewma_smooth",
+    oracle=_ewma_oracle(),
+    doc="Finite-memory EWMA smoothing of each user's 'view' value "
+    "series: ewma_t = sum_{k<8} 0.8^k * x_{t-k} / sum_{k<8} 0.8^k "
+    "(the trailing-8 truncation of the classic exponentially "
+    "weighted average, renormalized at series edges). Implemented "
+    "as 7 lag() columns over ONE window spec — Catalyst computes "
+    "all lags in a single sort within the user_id shuffle, so the "
+    "op costs exactly one exchange + one per-key sort at any scale "
+    "(no self-join, no grid materialization). Cross-engine "
+    "determinism: powers of 0.8 are exact decimals, each term is "
+    "multiplied and accumulated in DECIMAL and only the final "
+    "division runs in double, so the value hash is exact (the "
+    "infinite-memory recursive form would compound float error "
+    "order-dependently and is not finitely SQL-expressible). "
+    "Finite memory is also what a 100-TB streaming re-statement "
+    "needs: state per key is 8 numbers, not the full history.",
+    tags=("temporal", "ewma", "window"),
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    # Each product is decimal(37,13); summing 8 of those would push
+    # Spark past precision 38 and trigger scale-loss rounding (the
+    # 1e-8 drift class). Casting every term down to decimal(24,13)
+    # first is exact for |value| < 1e11 and keeps the 8-term chain at
+    # precision 31 — no precision loss on either engine.
+    zero_num = F.lit(0).cast("decimal(24,13)")
+    zero_den = F.lit(0).cast("decimal(18,7)")
+    for k, wt in enumerate(_EWMA_W):
+        x = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        wd = F.lit(wt).cast("decimal(18,7)")
+        term = F.coalesce(
+            (x.cast("decimal(18,6)") * wd).cast("decimal(24,13)"), zero_num
+        )
+        dterm = F.when(x.isNotNull(), wd).otherwise(zero_den)
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )

@@ -1,0 +1,121 @@
+"""Round-8 second wave: EWMA smoothing, market-basket frequent
+pairs, PMI co-occurrence, and HITS hubs/authorities.
+
+The driver rows hash-verify values (full-width digest members); these
+tests pin the SEMANTIC contracts a value hash alone would not
+explain."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mathorcup_spark import registry
+from mathorcup_spark.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+registry._bootstrap()
+
+
+def test_ewma_first_row_equals_value_and_stays_in_hull(spark):
+    """A 1-observation window renormalizes to the observation itself,
+    and every estimate is a convex combination of trailing values —
+    so it must sit inside the trailing min/max hull."""
+    out = REGISTRY["ts_ewma_smooth"].fn(spark, SF_DIR)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    k = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    checked = out.select(
+        "value",
+        "ewma",
+        F.row_number().over(w).alias("rn"),
+        F.min("value").over(k).alias("lo"),
+        F.max("value").over(k).alias("hi"),
+    )
+    n_first_bad = checked.filter(
+        (F.col("rn") == 1) & (F.abs(F.col("ewma") - F.col("value")) > 1e-9)
+    ).count()
+    assert n_first_bad == 0
+    n_hull_bad = checked.filter(
+        (F.col("ewma") < F.col("lo") - 1e-9)
+        | (F.col("ewma") > F.col("hi") + 1e-9)
+    ).count()
+    assert n_hull_bad == 0
+
+
+def test_ewma_matches_python_recomputation(spark):
+    """Recompute the trailing-8 renormalized EWMA per user in plain
+    Python from the raw series and compare every estimate."""
+    out = REGISTRY["ts_ewma_smooth"].fn(spark, SF_DIR).collect()
+    series: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r)
+    n_checked = 0
+    for rows in series.values():
+        vals: list[float] = []
+        for r in rows:
+            vals.append(r.value)
+            tail = vals[-8:]
+            ws = [0.8**k for k in range(len(tail))]
+            expect = sum(v * w for v, w in zip(reversed(tail), ws)) / sum(ws)
+            assert abs(r.ewma - expect) < 1e-6, (r.user_id, r.event_id)
+            n_checked += 1
+    assert n_checked == len(out) > 0
+
+
+def test_frequent_pairs_support_and_lift_contract(spark):
+    out = REGISTRY["a_frequent_pairs"].fn(spark, SF_DIR).collect()
+    assert out, "sf0.001 has >2000 supported pairs"
+    for r in out:
+        assert r.p1 < r.p2
+        assert r.pair_n >= 2
+        # a pair cannot be more frequent than either member
+        assert r.pair_n <= min(r.n1, r.n2)
+        assert r.lift > 0
+
+
+def test_pmi_pairs_bounded_by_vocab_cap(spark):
+    from mathorcup_spark.functions.text import _PMI_TOP_TERMS
+
+    out = REGISTRY["t_pmi_cooccur"].fn(spark, SF_DIR).collect()
+    cap = _PMI_TOP_TERMS * (_PMI_TOP_TERMS - 1) // 2
+    assert 0 < len(out) <= cap
+    for r in out:
+        assert r.t1 < r.t2
+        assert 0 < r.n12 <= min(r.n1, r.n2)
+        # presence PMI is capped by -ln(max(P(t1), P(t2))) < ln N
+        assert math.isfinite(r.pmi)
+
+
+def test_hits_scores_l1_normalized_and_bipartite(spark):
+    out = REGISTRY["g_hits_scores"].fn(spark, SF_DIR)
+    sums = {
+        r.kind: r.s
+        for r in out.groupBy("kind").agg(F.sum("score").alias("s")).collect()
+    }
+    assert set(sums) == {"hub", "auth"}
+    # round(x, 6) per node: totals match 1 within n_nodes * 5e-7
+    for v in sums.values():
+        assert abs(v - 1.0) < 1e-3
+    bad_side = out.filter(
+        ((F.col("kind") == "hub") & (F.col("node") % 2 != 0))
+        | ((F.col("kind") == "auth") & (F.col("node") % 2 != 1))
+    ).count()
+    assert bad_side == 0
+    assert out.filter(F.col("score") < 0).count() == 0
+
+
+def test_chi2_expected_preserves_margins(spark):
+    """Expected counts reproduce the observed row/column margins —
+    the defining property of the independence model."""
+    out = REGISTRY["a_chi2_independence"].fn(spark, SF_DIR).collect()
+    obs_by_type: dict[str, float] = {}
+    exp_by_type: dict[str, float] = {}
+    for r in out:
+        obs_by_type[r.event_type] = obs_by_type.get(r.event_type, 0) + r.n_obs
+        exp_by_type[r.event_type] = exp_by_type.get(r.event_type, 0) + r.expected
+        assert r.chi2_term >= 0
+    for k in obs_by_type:
+        assert abs(obs_by_type[k] - exp_by_type[k]) < 1e-3, k

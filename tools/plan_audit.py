@@ -374,6 +374,21 @@ EXPECT: dict[str, dict] = {
     "agg_digest_suite": {"bnlj_ok": True},
     "lake_digest_suite": {"bnlj_ok": True},
     "specialty_digest_suite": {"bnlj_ok": True},
+    # one exchange + one per-key sort; the event_type filter must
+    # reach the parquet scan
+    "ts_ewma_smooth": {"pushed": "event_type"},
+    # 1-row n_orders scalar joins conditionlessly onto the pair
+    # frame (BNLJ); the basket self-join keys on the order key
+    "a_frequent_pairs": {"bnlj_ok": True},
+    # contingency margins broadcast onto the cell frame; 1-row total
+    # is a BNLJ (the a_mutual_information shape)
+    "a_chi2_independence": {"bnlj_ok": True, "broadcast": 2},
+    # top-K vocabulary broadcast-semi-joins the presence rows; 1-row
+    # doc-count scalar is a BNLJ
+    "t_pmi_cooccur": {"bnlj_ok": True, "broadcast": 1},
+    # per-iteration 1-row L1-total crossJoins (BNLJ) — the pagerank
+    # scalar-broadcast shape, twice per round
+    "g_hits_scores": {"bnlj_ok": True},
 }
 
 
