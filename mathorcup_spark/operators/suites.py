@@ -1141,7 +1141,11 @@ def tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalization math (|mean z| ≤ 1e-4, |sd z - 1| ≤ 1e-2, minmax "
     "spanning [0,1]); train_val_select returns one grid row per "
     "param with a unique argmin winner; the checkpoint roundtrip "
-    "reproduces the fit bit-for-bit. Fit internals stay pinned "
+    "reproduces the fit bit-for-bit; the ALS recommender returns "
+    "exactly top-3 recs per queried user (ranks 1..3, finite "
+    "non-increasing scores, items from the observed domain) with "
+    "the expected rec count re-derived by the oracle as "
+    "least(active customers, 100) * 3. Fit internals stay pinned "
     "per-fit in tests/test_graph_embed.py and "
     "tests/test_car_pipeline.py (reference src/model.py, train.py, "
     "second.py:118-151, first.py:80-81,120).",

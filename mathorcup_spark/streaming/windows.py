@@ -22,7 +22,7 @@ events source is Kafka + partitioned sinks, which swap in at the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -293,6 +293,10 @@ def _stateful_oracle() -> str:
     UNION ALL
     SELECT 'verdict_ingest_maintenance',
            (SELECT count(*) FROM documents), 0, 1
+    UNION ALL
+    SELECT 'ewma_stateful_restatement',
+           (SELECT count(DISTINCT user_id) FROM events
+            WHERE event_type = 'view'), 0, 1
     """
 
 
@@ -337,7 +341,12 @@ def _stateful_oracle() -> str:
     "micro-batches absorbed by append_to_verdict_table in "
     "foreachBatch, then maintained == one-shot rebuild AND "
     "read-back signature == the additive sum of what create + "
-    "every append wrote. The fn RAISES if any flag is 0, so a "
+    "every append wrote; (10) streaming EWMA — the finite-memory "
+    "ts_ewma_smooth operator restated as applyInPandasWithState "
+    "with per-user state of exactly the last 8 values, four "
+    "time-ranged ordered micro-batches, final per-user estimate == "
+    "the batch operator's last row per user. The fn RAISES if any "
+    "flag is 0, so a "
     "silent semantics drift cannot produce a green row. Events are "
     "re-materialized with micros timestamps first (the raw file is "
     "TIMESTAMP(NANOS), unreadable by the streaming parquet source).",
@@ -894,6 +903,130 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad = int(got_sig != rebuilt_sig) + int(got_sig != additive)
         rows.append(
             ("verdict_ingest_maintenance", int(docs.count()), bad, int(bad == 0))
+        )
+        # (10) streaming EWMA: the finite-memory ts_ewma_smooth batch
+        # operator restated as an applyInPandasWithState custom
+        # stateful operator — per-user state is EXACTLY the last 8
+        # values (the finite-memory design point the batch op's
+        # docstring sells as "what a 100-TB streaming re-statement
+        # needs: state per key is 8 numbers, not the full history").
+        # The 'view' rows are split into four TIME-RANGED files with
+        # ascending mtimes + maxFilesPerTrigger=1, so the state
+        # genuinely evolves across four ordered micro-batches (the
+        # same monotone-source discipline as check 8). Final per-user
+        # estimate must equal the batch operator's last row per user.
+        import os
+
+        from ..registry import REGISTRY
+
+        views = (
+            spark.read.parquet(src)
+            .filter(F.col("event_type") == "view")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy("ts", "event_id")
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        n_views = views.count()
+        src10 = f"{work}/views_by_ts"
+        os.makedirs(src10)
+        n_files = 4
+        base10 = 1_700_100_000
+        for i in range(n_files):
+            lo = n_views * i // n_files
+            hi = n_views * (i + 1) // n_files
+            tmp_i = f"{work}/views_tmp_{i}"
+            (
+                views.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+                .drop("rn")
+                .coalesce(1)
+                .sortWithinPartitions("ts", "event_id")
+                .write.mode("overwrite")
+                .parquet(tmp_i)
+            )
+            part = next(
+                f for f in sorted(os.listdir(tmp_i)) if f.startswith("part-")
+            )
+            dst = f"{src10}/b{i}.parquet"
+            shutil.copyfile(f"{tmp_i}/{part}", dst)
+            os.utime(dst, (base10 + i, base10 + i))
+        view_schema = spark.read.parquet(src10).schema
+
+        ew_w = [0.8**k for k in range(8)]
+
+        def ew_update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                vals, n = list(state.get[0]), int(state.get[1])
+            else:
+                vals, n = [], 0
+            pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                vals.append(float(v))
+                n += 1
+            vals = vals[-8:]
+            state.update((vals, n))
+            tail = list(reversed(vals))
+            num = sum(v * w for v, w in zip(tail, ew_w))
+            den = sum(ew_w[: len(tail)])
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_seen": [n], "ewma": [num / den]}
+            )
+
+        name10 = f"st_ewma_{tag}"
+        q = (
+            spark.readStream.schema(view_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src10)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                ew_update,
+                "user_id long, n_seen long, ewma double",
+                "vals array<double>, n long",
+                "update",
+                "NoTimeout",
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name10)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got_ew = {
+                r["user_id"]: (r["n"], round(r["ewma"], 6))
+                for r in spark.sql(
+                    f"SELECT user_id, max(n_seen) AS n, "
+                    f"max_by(ewma, n_seen) AS ewma "
+                    f"FROM {name10} GROUP BY user_id"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        last = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        want_ew = {
+            r["user_id"]: (r["n"], round(r["ewma"], 6))
+            for r in REGISTRY["ts_ewma_smooth"]
+            .fn(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(last))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.max_by("ewma", -F.col("rn")).alias("ewma"),
+            )
+            .collect()
+        }
+        bad = sum(1 for k in want_ew if got_ew.get(k) != want_ew[k]) + len(
+            set(got_ew) - set(want_ew)
+        )
+        rows.append(
+            ("ewma_stateful_restatement", len(want_ew), bad, int(bad == 0))
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
