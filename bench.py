@@ -179,6 +179,8 @@ HEADLINE = [
     "t_pmi_cooccur",
     "g_hits_scores",
     "ml_als_recommend",
+    "g_assortativity",
+    "ev_cusum_changepoint",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

@@ -367,6 +367,11 @@ _SPECIALTY_MEMBERS: list[Member] = [
       ("n2", "num"), ("pmi", "double")]),
     ("hits", "g_hits_scores",
      [("node", "num"), ("kind", "string"), ("score", "double")]),
+    ("assortativity", "g_assortativity",
+     [("n_end_pairs", "num"), ("assortativity", "double")]),
+    ("cusum", "ev_cusum_changepoint",
+     [("event_type", "string"), ("n", "num"), ("cp_k", "num"),
+      ("cp_event_id", "num"), ("cusum_max", "double")]),
     ("q6", "tpch_q6_revenue_forecast", [("revenue", "double")]),
     ("q14", "tpch_q14_promo_revenue", [("promo_revenue", "double")]),
     ("q17", "tpch_q17_small_quantity_revenue", [("avg_yearly", "double")]),

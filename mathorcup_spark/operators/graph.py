@@ -1711,3 +1711,86 @@ def g_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("a", 6).alias("score"),
     )
     return hubs.unionAll(auths)
+
+
+@register(
+    "g_assortativity",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+    ), deg AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges
+      ) both_ends GROUP BY p
+    ), ends AS (
+      SELECT du.d AS x, dv.d AS y FROM edges e
+      JOIN deg du ON du.p = e.p1 JOIN deg dv ON dv.p = e.p2
+      UNION ALL
+      SELECT dv.d, du.d FROM edges e
+      JOIN deg du ON du.p = e.p1 JOIN deg dv ON dv.p = e.p2
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ends
+    )
+    SELECT n AS n_end_pairs,
+           round((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(syy AS DOUBLE) * n
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+             AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the co-purchase graph: the Pearson "
+    "correlation of endpoint degrees over every directed edge "
+    "(both orientations, the standard Newman r) — one scalar "
+    "summarizing whether hubs attach to hubs (r > 0, social-like) "
+    "or to leaves (r < 0, internet-like); the shape diagnostic "
+    "that decides whether the degree-ordered wedge orientations "
+    "used by g_triangle_count actually pay off on a given graph. "
+    "Every aggregate is an exact BIGINT sum of integer degrees "
+    "(no double accumulation to drift); the final r is one "
+    "per-row IEEE expression — sqrt is IEEE-correctly-rounded on "
+    "both engines — rounded to 6. Scale: the edge build is the "
+    "shared order-key self-join, degree one shuffle, the moment "
+    "sums a single partial-agg reduction to ONE row; nothing "
+    "global but a scalar.",
+    tags=("graph", "assortativity", "G1"),
+)
+def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, deg, _ = _copurchase_oriented(spark, sf_dir)
+    degs = deg.select("p", F.col("d").cast("long").alias("d"))
+    du = degs.select(F.col("p").alias("p1"), F.col("d").alias("d1"))
+    dv = degs.select(F.col("p").alias("p2"), F.col("d").alias("d2"))
+    ed = edges.join(du, "p1").join(dv, "p2")
+    ends = ed.select(F.col("d1").alias("x"), F.col("d2").alias("y")).unionAll(
+        ed.select(F.col("d2").alias("x"), F.col("d1").alias("y"))
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("sxy").cast("double") * F.col("n") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        F.col("sxx").cast("double") * F.col("n")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("syy").cast("double") * F.col("n")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return s.select(
+        F.col("n").alias("n_end_pairs"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -1030,3 +1030,87 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (num.cast("double") / den.cast("double")).alias("ewma"),
     )
+
+
+@register(
+    "ev_cusum_changepoint",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(value) AS mu,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), s AS (
+      SELECT e.event_type, e.ts, e.event_id, m.n,
+             CAST(row_number() OVER w AS BIGINT) AS k,
+             sum(CAST(e.value - m.mu AS DECIMAL(18,6))) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum
+      FROM events e JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id)
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, ts, event_id) AS rnk
+      FROM s
+    )
+    SELECT event_type, n, k AS cp_k, event_id AS cp_event_id,
+           round(CAST(cusum AS DOUBLE), 6) AS cusum_max
+    FROM ranked WHERE rnk = 1
+    """,
+    doc="CUSUM changepoint detection per event_type: the cumulative "
+    "sum of mean-deviations S_k = sum_{i<=k}(x_i - mean) peaks in "
+    "magnitude at the most likely mean-shift point — the classic "
+    "offline single-changepoint statistic a pipeline runs per "
+    "series to localize when a metric drifted (complements a_ks_"
+    "drift / a_psi_drift, which detect THAT two samples differ but "
+    "not WHERE in time). Two passes: the per-type mean is one "
+    "partial-agg shuffle joined back (broadcast — few types), then "
+    "ONE ordered window per type computes the running decimal-"
+    "exact cusum, and an argmax window (abs desc, earliest-ts "
+    "tiebreak) picks the peak — both windows share the same "
+    "(event_type; ts, event_id) sort, so Catalyst runs them in a "
+    "single exchange + sort at any scale. Per-row deviations are "
+    "cast to DECIMAL(18,6) before the running sum (deterministic "
+    "identical rounding on both engines; the accumulation itself "
+    "is exact), so the hash is stable.",
+    tags=("temporal", "changepoint", "drift"),
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")
+        ).alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    wt = W.partitionBy("event_type").orderBy("ts", "event_id")
+    joined = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.row_number().over(wt).cast("long").alias("k"),
+        F.sum(
+            (F.col("value") - F.col("mu")).cast(DEC)
+        )
+        .over(wt.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cusum"),
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.abs(F.col("cusum")).desc(), "ts", "event_id"
+        )
+    )
+    return (
+        joined.withColumn("rnk", rnk)
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("k").alias("cp_k"),
+            F.col("event_id").alias("cp_event_id"),
+            F.round(F.col("cusum").cast("double"), 6).alias("cusum_max"),
+        )
+    )

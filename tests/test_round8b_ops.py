@@ -119,3 +119,40 @@ def test_chi2_expected_preserves_margins(spark):
         assert r.chi2_term >= 0
     for k in obs_by_type:
         assert abs(obs_by_type[k] - exp_by_type[k]) < 1e-3, k
+
+
+def test_assortativity_in_valid_range(spark):
+    r = REGISTRY["g_assortativity"].fn(spark, SF_DIR).first()
+    assert r.n_end_pairs > 0 and r.n_end_pairs % 2 == 0
+    assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_cusum_peak_matches_python_recomputation(spark):
+    """Recompute the CUSUM peak per event_type from the raw series."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_type, ts, event_id, value FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') "
+        f"ORDER BY event_type, ts, event_id"
+    ).fetchall()
+    series: dict[str, list] = {}
+    for et, ts, eid, v in rows:
+        series.setdefault(et, []).append((ts, eid, v))
+    got = {
+        r.event_type: r
+        for r in REGISTRY["ev_cusum_changepoint"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        mu = sum(p[2] for p in pts) / len(pts)
+        s, best_k, best_abs = 0.0, None, -1.0
+        for k, (_, eid, v) in enumerate(pts, start=1):
+            s += v - mu
+            if abs(s) > best_abs + 1e-6:
+                best_abs, best_k, best_eid = abs(s), k, eid
+        r = got[et]
+        assert r.n == len(pts)
+        assert r.cp_k == best_k and r.cp_event_id == best_eid, et
+        assert abs(abs(r.cusum_max) - best_abs) < 1e-2, et

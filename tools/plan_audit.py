@@ -389,6 +389,9 @@ EXPECT: dict[str, dict] = {
     # per-iteration 1-row L1-total crossJoins (BNLJ) — the pagerank
     # scalar-broadcast shape, twice per round
     "g_hits_scores": {"bnlj_ok": True},
+    # per-type mean frame broadcasts back onto the event stream;
+    # both windows share one (event_type; ts, event_id) sort
+    "ev_cusum_changepoint": {"broadcast": 1},
 }
 
 
