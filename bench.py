@@ -181,6 +181,7 @@ HEADLINE = [
     "ml_als_recommend",
     "g_assortativity",
     "ev_cusum_changepoint",
+    "w_ntile_deciles",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

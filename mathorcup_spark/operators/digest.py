@@ -372,6 +372,9 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("cusum", "ev_cusum_changepoint",
      [("event_type", "string"), ("n", "num"), ("cp_k", "num"),
       ("cp_event_id", "num"), ("cusum_max", "double")]),
+    ("ntile_deciles", "w_ntile_deciles",
+     [("c_nationkey", "num"), ("decile", "num"), ("n", "num"),
+      ("lo", "double"), ("hi", "double"), ("mean_acctbal", "double")]),
     ("q6", "tpch_q6_revenue_forecast", [("revenue", "double")]),
     ("q14", "tpch_q14_promo_revenue", [("promo_revenue", "double")]),
     ("q17", "tpch_q17_small_quantity_revenue", [("avg_yearly", "double")]),

@@ -1793,3 +1793,54 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev * dev / exp, 6).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "w_ntile_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT c_nationkey,
+             CAST(ntile(10) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile,
+             c_acctbal
+      FROM customer
+    )
+    SELECT c_nationkey, decile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / count(c_acctbal) AS mean_acctbal
+    FROM d GROUP BY c_nationkey, decile
+    """,
+    doc="ntile decile assignment: customers bucketed into account-"
+    "balance deciles WITHIN their nation (ANSI ntile — rows spread "
+    "as evenly as possible, earlier buckets take the remainder; "
+    "(acctbal, custkey) ordering makes the tile of every row "
+    "total-order deterministic on both engines), then one aggregate "
+    "per (nation, decile) — the segmentation shape behind decile "
+    "reports and per-segment pricing. The window partitions on "
+    "nationkey, so there is NO single-partition exchange at any "
+    "customer count; the decile aggregate is one keyed shuffle "
+    "with map-side partials. Mean through the decimal-sum "
+    "discipline.",
+    tags=("window", "ntile", "W2"),
+)
+def w_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    d = cust.select(
+        "c_nationkey",
+        F.ntile(10)
+        .over(
+            W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+        )
+        .cast("long")
+        .alias("decile"),
+        "c_acctbal",
+    )
+    return d.groupBy("c_nationkey", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        davg("c_acctbal", "mean_acctbal"),
+    )

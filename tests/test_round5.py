@@ -25,6 +25,7 @@ def test_st_stateful_suite_self_asserts(spark):
         "ann_ingest_probe_parity",
         "stream_stream_join",
         "verdict_ingest_maintenance",
+        "ewma_stateful_restatement",
     }
     assert all(r["match"] == 1 and r["n_mismatch"] == 0 for r in rows)
 
