@@ -182,6 +182,8 @@ HEADLINE = [
     "g_assortativity",
     "ev_cusum_changepoint",
     "w_ntile_deciles",
+    "sim_lsh_multiprobe_ann",
+    "w_rolling_regression",
     # d_incremental_index_dedup is deliberately NOT a headline: ~90%
     # of its runtime is the one-time index BACKFILL (write of the
     # partitioned band/shingle layouts), which would distort the

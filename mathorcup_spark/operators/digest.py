@@ -372,6 +372,12 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("cusum", "ev_cusum_changepoint",
      [("event_type", "string"), ("n", "num"), ("cp_k", "num"),
       ("cp_event_id", "num"), ("cusum_max", "double")]),
+    ("lsh_multiprobe", "sim_lsh_multiprobe_ann",
+     [("q_id", "num"), ("c_id", "num"), ("cosine", "double"),
+      ("rnk", "num")]),
+    ("rolling_regression", "w_rolling_regression",
+     [("user_id", "num"), ("event_id", "num"), ("ts", "num"),
+      ("n", "num"), ("slope", "double")]),
     ("ntile_deciles", "w_ntile_deciles",
      [("c_nationkey", "num"), ("decile", "num"), ("n", "num"),
       ("lo", "double"), ("hi", "double"), ("mean_acctbal", "double")]),

@@ -1114,3 +1114,93 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cusum").cast("double"), 6).alias("cusum_max"),
         )
     )
+
+
+_RR_K = 16  # trailing observations per rolling fit
+_RR_MIN_N = 8  # emit a slope only once the window has enough points
+
+
+@register(
+    "w_rolling_regression",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, ts,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             sum(CAST(value AS DECIMAL(18,6))) OVER w AS sy,
+             sum(CAST(x AS DECIMAL(12,0))
+                 * CAST(value AS DECIMAL(18,6))) OVER w AS sxy
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY x
+                   ROWS BETWEEN {_RR_K - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE))
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+    FROM s WHERE n >= {_RR_MIN_N}
+    """,
+    doc=f"Rolling OLS trend: per user, the least-squares slope of "
+    f"value against event index over the trailing {_RR_K} "
+    "observations (emitted once the window holds >= "
+    f"{_RR_MIN_N} points) — the local-trend signal behind "
+    "\"is this metric drifting NOW\" alerting, complementing "
+    "ts_ewma_smooth (level) and ev_cusum_changepoint (global "
+    "shift point). Hash-exactness discipline: x is the integer "
+    "per-user row index, so Sx/Sxx/n and the slope denominator "
+    "n*Sxx - Sx^2 are EXACT BIGINTs; Sy/Sxy accumulate in "
+    "decimal; only the final numerator mixes them in one "
+    "identical IEEE expression, rounded to 6. All four window "
+    "sums share ONE (user_id; x) sort — a single exchange + "
+    "per-key sort at any scale, the ts_ewma_smooth shape. "
+    "(At extreme per-key history the uncentered index formula "
+    "loses numerator precision to cancellation — a production "
+    "variant centers x per frame; equally deterministic, "
+    "more algebra.)",
+    tags=("temporal", "window", "regression", "W3"),
+)
+def w_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.row_number().over(wo).cast("long").alias("x"),
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(_RR_K - 1), W.currentRow)
+    )
+    ydec = F.col("value").cast("decimal(18,6)")
+    s = r.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(wf).cast("long").alias("n"),
+        F.sum("x").over(wf).cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(wf).cast("long").alias("sxx"),
+        F.sum(ydec).over(wf).alias("sy"),
+        F.sum(F.col("x").cast("decimal(12,0)") * ydec).over(wf).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return s.filter(F.col("n") >= _RR_MIN_N).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "n",
+        F.round(num / den, 6).alias("slope"),
+    )

@@ -392,6 +392,9 @@ EXPECT: dict[str, dict] = {
     # per-type mean frame broadcasts back onto the event stream;
     # both windows share one (event_type; ts, event_id) sort
     "ev_cusum_changepoint": {"broadcast": 1},
+    # expanded probe frame + query-vector frame both broadcast onto
+    # the tables/candidates (the sim_lsh_ann shape)
+    "sim_lsh_multiprobe_ann": {"broadcast": 2},
 }
 
 
