@@ -5,8 +5,11 @@ The reference trains bespoke torch networks (RGCN embeddings, IGANN
 price regressor, TEIGANN classifier, TabNet multi-task); per SURVEY
 §2.11 the *capabilities* — not the architectures — are the parity
 target, mapped to MLlib estimators on shared feature pipelines. All
-seeded; registered as rows-only queries (model internals have no SQL
-oracle); metric parity with the reference's formulas comes from the
+seeded. These are the NATURAL-OUTPUT library functions (predictions,
+embeddings, recommendations); the registered query surface wraps each
+in a self-asserted check row with a DuckDB-pinned oracle
+(mathorcup_spark/ml/checks.py — model internals have no SQL value
+oracle). Metric parity with the reference's formulas comes from the
 Milestone-3 metric aggregations run on these predictions.
 
 Scale posture: MLlib estimators are data-parallel (tree aggregation
@@ -33,7 +36,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..registry import register
 
 SEED = 42
 
@@ -63,18 +65,7 @@ def _price_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_word2vec_embeddings",
-    oracle=None,
-    doc="M1: entity-embedding pretraining — the reference pretrains "
-    "RGCN embeddings on the attribute co-occurrence graph "
-    "(preprocess.py:25-91); the idiomatic-Spark analog is Word2Vec "
-    "over per-row attribute-token sentences ('col:value' tokens, "
-    "SURVEY §2.11 M1): co-occurrence within a row = context window. "
-    "Seeded, 1 partition → deterministic. Rows-only check.",
-    tags=("M1", "ml"),
-)
-def ml_word2vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def word2vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     sentences = part.select(
         F.array(
@@ -100,17 +91,7 @@ def ml_word2vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_gbt_price_regression",
-    oracle=None,
-    doc="M2: tabular price regression — reference IGANN/TEIGANN MLP "
-    "(first.py:21-117) as Pipeline(StringIndexer, VectorAssembler, "
-    "GBTRegressor). Returns per-row predictions; MAPE/Acc@5%/score "
-    "come from the m_regression_metrics aggregation applied to this "
-    "output. Rows-only check (seeded).",
-    tags=("M2", "M7", "ml"),
-)
-def ml_gbt_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gbt_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _price_features(spark, sf_dir)
     pipe = Pipeline(
         stages=[
@@ -135,17 +116,7 @@ def ml_gbt_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_logreg_sold_classifier",
-    oracle=None,
-    doc="M3: binary sale-probability classifier — reference "
-    "TEIGANNClassifier (second.py:18-76) as LogisticRegression on the "
-    "shared features (label: item returned). Outputs per-row "
-    "probability + prediction; Pearson eval = m_pearson shape. "
-    "Rows-only check.",
-    tags=("M3", "ml"),
-)
-def ml_logreg_sold_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def logreg_sold_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _price_features(spark, sf_dir).withColumn(
         "label", (F.col("returnflag") == "R").cast("double")
     )
@@ -170,18 +141,7 @@ def ml_logreg_sold_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_multitask_bundle",
-    oracle=None,
-    doc="M4: multi-task deal prediction — reference TabNet jointly "
-    "predicts sale year/month/day (classification) + price "
-    "(regression) (second.py:78-117); here 2 classifiers + 1 regressor "
-    "share one feature pipeline (SURVEY §2.11: the joint loss is a "
-    "training detail, the capability is the parity target). "
-    "Rows-only check.",
-    tags=("M4", "M5", "ml"),
-)
-def ml_multitask_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multitask_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _price_features(spark, sf_dir)
     assembler = VectorAssembler(
         inputCols=["qty", "disc", "listprice"], outputCol="features"
@@ -218,18 +178,7 @@ def ml_multitask_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_scaler_fit_transform",
-    oracle=None,
-    doc="M6: normalization as fit/transform — reference per-column "
-    "std/maxmin loops with params reused at inference "
-    "(src/data.py:107-125); MLlib StandardScaler + MinMaxScaler on an "
-    "assembled vector, params persisted in the model objects. The "
-    "exact-arithmetic SQL equivalent is a_normalize_roundtrip. "
-    "Rows-only check.",
-    tags=("M6", "ml"),
-)
-def ml_scaler_fit_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scaler_fit_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     assembled = VectorAssembler(
         inputCols=["c_acctbal"], outputCol="raw"
@@ -246,17 +195,7 @@ def ml_scaler_fit_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_train_validation_select",
-    oracle=None,
-    doc="M7: model selection — the reference keeps the best checkpoint "
-    "by validation metric (first.py:79-85); MLlib TrainValidationSplit "
-    "over a GBT regParam/depth grid, RMSE objective. Returns the "
-    "chosen params + validation metrics (1 row per grid point). "
-    "Rows-only check.",
-    tags=("M7", "W3", "ml"),
-)
-def ml_train_validation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_validation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _price_features(spark, sf_dir)
     assembler = VectorAssembler(
         inputCols=["qty", "disc", "listprice"], outputCol="features"
@@ -283,26 +222,7 @@ def ml_train_validation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_checkpoint_roundtrip",
-    oracle=None,
-    doc="S9: model checkpoint save/load roundtrip — the reference "
-    "persists torch checkpoints and reloads them for inference "
-    "(first.py:80-81,120); the MLlib analog is PipelineModel.save → "
-    "PipelineModel.load. Fits the shared GBT price pipeline, "
-    "persists it, reloads it, re-predicts the SAME test split with "
-    "both the in-memory and the reloaded model, and returns one row "
-    "(n_mem, n_ckpt, roundtrip_exact) comparing row counts and an "
-    "order-independent checksum over (keys, prediction-bits) — a "
-    "loaded checkpoint must reproduce the fit bit-for-bit. The "
-    "checksum (decimal sum of xxhash64 per row) avoids a row-level "
-    "self-join, which the test data's duplicate (orderkey, "
-    "linenumber) keys would cross-product. Rows-only check (seeded "
-    "fit); the row itself asserts the equality so a driver green "
-    "row IS the roundtrip evidence.",
-    tags=("S9", "ml"),
-)
-def ml_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
@@ -382,26 +302,7 @@ def als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_als_recommend",
-    oracle=None,
-    doc="Collaborative-filtering recommender: ALS matrix "
-    "factorization (rank 8, 5 iterations, seeded) on the customer x "
-    "part purchase-quantity matrix, then top-3 part recommendations "
-    "for the 100 lowest-id active customers via "
-    "recommendForUserSubset — bounded query fan-out, NOT "
-    "recommendForAllUsers, so the scoring stage is "
-    "O(subset x items) regardless of user-base size (at 100 TB the "
-    "subset is whatever batch the serving layer asks for). MLlib "
-    "ALS itself is the scale path: block-partitioned factors, "
-    "no driver-side matrix. The capability extends the reference's "
-    "embedding-pretrain family (M1, src/model.py RGCN embeddings) "
-    "to the user-item recommendation task. Rows-only check (seeded "
-    "fit); quality/consistency floors are hash-verified by the "
-    "als_recommender check row in ml_pipeline_suite.",
-    tags=("ml", "als", "M1"),
-)
-def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.recommendation import ALS
 
     ratings = als_ratings(spark, sf_dir)

@@ -1714,8 +1714,12 @@ _CHI2_BUCKET_WIDTH = 50.0  # fixed-width value buckets, capped at 5
     "a_chi2_independence",
     oracle=f"""
     WITH obs AS (
+      -- NULL values form their own sentinel bucket (-1) instead of a
+      -- NULL bucket that equality joins would silently drop from the
+      -- margins and n (advisor r8)
       SELECT event_type AS x,
-             least(CAST(floor(value / {_CHI2_BUCKET_WIDTH}) AS BIGINT), 5)
+             coalesce(least(CAST(floor(value / {_CHI2_BUCKET_WIDTH})
+                                 AS BIGINT), 5), -1)
                AS y,
              CAST(count(*) AS BIGINT) AS c_xy
       FROM events GROUP BY 1, 2
@@ -1743,7 +1747,10 @@ _CHI2_BUCKET_WIDTH = 50.0  # fixed-width value buckets, capped at 5
     FROM c JOIN mx USING (x) JOIN my USING (y), t
     """,
     doc="Chi-squared test of independence between event_type and a "
-    "fixed-width value bucket (floor(value/50) capped at 5) — the "
+    "fixed-width value bucket (floor(value/50) capped at 5; NULL "
+    "values get the sentinel bucket -1 so they count in n and the "
+    "margins instead of silently dropping out of the equality-"
+    "joined grid) — the "
     "third member of the drift/association family next to "
     "a_mutual_information (effect size in bits) and "
     "a_two_proportion_ztest (two-group rates): the per-cell "
@@ -1764,10 +1771,17 @@ _CHI2_BUCKET_WIDTH = 50.0  # fixed-width value buckets, capped at 5
 )
 def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # NULL value -> sentinel bucket -1: intentional NULL handling —
+    # an equality-joined NULL bucket would vanish from the completed
+    # grid, n, and both margins without error (advisor r8)
     obs = ev.groupBy(
         F.col("event_type").alias("x"),
-        F.least(
-            F.floor(F.col("value") / _CHI2_BUCKET_WIDTH).cast("long"), F.lit(5)
+        F.coalesce(
+            F.least(
+                F.floor(F.col("value") / _CHI2_BUCKET_WIDTH).cast("long"),
+                F.lit(5),
+            ),
+            F.lit(-1).cast("long"),
         ).alias("y"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
     # complete the |X| x |Y| grid so zero-observed cells carry their

@@ -1129,10 +1129,12 @@ _RR_MIN_N = 8  # emit a slope only once the window has enough points
                PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x
       FROM events
     ), s AS (
+      -- index sums widened to HUGEINT before the product — exact far
+      -- past int64 (mirrors the Spark side's DECIMAL accumulators)
       SELECT user_id, event_id, ts,
              CAST(count(*) OVER w AS BIGINT) AS n,
-             CAST(sum(x) OVER w AS BIGINT) AS sx,
-             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             sum(CAST(x AS HUGEINT)) OVER w AS sx,
+             sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
              sum(CAST(value AS DECIMAL(18,6))) OVER w AS sy,
              sum(CAST(x AS DECIMAL(12,0))
                  * CAST(value AS DECIMAL(18,6))) OVER w AS sxy
@@ -1153,10 +1155,13 @@ _RR_MIN_N = 8  # emit a slope only once the window has enough points
     "\"is this metric drifting NOW\" alerting, complementing "
     "ts_ewma_smooth (level) and ev_cusum_changepoint (global "
     "shift point). Hash-exactness discipline: x is the integer "
-    "per-user row index, so Sx/Sxx/n and the slope denominator "
-    "n*Sxx - Sx^2 are EXACT BIGINTs; Sy/Sxy accumulate in "
-    "decimal; only the final numerator mixes them in one "
-    "identical IEEE expression, rounded to 6. All four window "
+    "per-user row index; Sx/Sxx and the slope denominator "
+    "n*Sxx - Sx^2 accumulate in DECIMAL(38,0) (Spark) / HUGEINT "
+    "(DuckDB) — exact to ~1e38, so a per-key history of ~1e8+ "
+    "rows cannot silently wrap the x^2 sums the way int64 would "
+    "(advisor r8); Sy/Sxy accumulate in decimal; only the final "
+    "numerator mixes them in one identical IEEE expression, "
+    "rounded to 6. All four window "
     "sums share ONE (user_id; x) sort — a single exchange + "
     "per-key sort at any scale, the ts_ewma_smooth shape. "
     "(At extreme per-key history the uncentered index formula "
@@ -1181,13 +1186,17 @@ def w_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-(_RR_K - 1), W.currentRow)
     )
     ydec = F.col("value").cast("decimal(18,6)")
+    # x widened to DECIMAL(18,0) before x*x so the window sums (Spark
+    # widens sum accumulators toward DECIMAL(38,0)) and the n*Sxx -
+    # Sx^2 denominator stay exact where int64 would wrap (advisor r8)
+    xdec = F.col("x").cast("decimal(18,0)")
     s = r.select(
         "user_id",
         "event_id",
         "ts",
         F.count(F.lit(1)).over(wf).cast("long").alias("n"),
-        F.sum("x").over(wf).cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).over(wf).cast("long").alias("sxx"),
+        F.sum(xdec).over(wf).alias("sx"),
+        F.sum(xdec * xdec).over(wf).alias("sxx"),
         F.sum(ydec).over(wf).alias("sy"),
         F.sum(F.col("x").cast("decimal(12,0)") * ydec).over(wf).alias("sxy"),
     )
@@ -1195,7 +1204,8 @@ def w_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) * F.col("sy").cast("double")
     den = (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        F.col("n").cast("decimal(10,0)") * F.col("sxx")
+        - F.col("sx") * F.col("sx")
     ).cast("double")
     return s.filter(F.col("n") >= _RR_MIN_N).select(
         "user_id",

@@ -5,7 +5,7 @@ Add new operator modules here as they land (SURVEY.md §7 milestones).
 """
 
 from ..functions import cars, cluster, corpus, dedup, multimodal, scalar, similarity, text  # noqa: F401
-from ..ml import graph_embed, pipelines  # noqa: F401
+from ..ml import checks, graph_embed, pipelines  # noqa: F401
 from ..operators import (  # noqa: F401
     analytics,
     graph,
@@ -27,5 +27,5 @@ _ALL = [
     cars, cluster, corpus,
     relational, scalar, metrics, sampling, graph, temporal, analytics,
     tpch_more, text, dedup, similarity, multimodal, windows, pipelines,
-    graph_embed, lake, suites, digest,
+    checks, graph_embed, lake, suites, digest,
 ]

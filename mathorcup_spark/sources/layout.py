@@ -15,6 +15,13 @@ tables and asserts the join plan contains NO Exchange operator.
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -51,3 +58,92 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     from the catalog, so joins can use it — ``spark.read.parquet`` on
     the raw path would lose the bucketing)."""
     return spark.table(table)
+
+
+# --- build-once derived tables ----------------------------------------------
+#
+# Several query families re-derive the SAME expensive intermediate
+# from the base tables (the co-purchase edge list behind the g_*
+# graph family costs an order-key self-join + distinct + two degree
+# joins, and round 8 rebuilt it independently in SEVEN queries).
+# `materialize_derived` persists such a deterministic derivation ONCE
+# per input fingerprint as a bucketed Parquet table and hands every
+# later caller the bucketed scan — no rebuild, and self-joins /
+# aggregations on the bucket column skip their Exchange entirely
+# (the write_bucketed contract proven by tests/test_layout.py).
+#
+# Cache keying and lifetime:
+# - the fingerprint hashes the resolved sf_dir path PLUS the size and
+#   mtime of the fingerprint file(s), so regenerated testdata can
+#   never serve a stale cache;
+# - table registrations live in the session's in-memory catalog, so a
+#   fresh process rebuilds (first g_* query pays once, the rest of
+#   the session reads); data files live under a per-process temp dir
+#   removed at exit.
+# On a production lake this would be a real warehouse table refreshed
+# by the ingest pipeline; the per-process temp lifetime is the local
+# test analog.
+
+_CACHE_ROOT = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
+    tempfile.gettempdir(), f"mcs_derived_{os.getpid()}"
+)
+_cleanup_registered = False
+
+
+def _fingerprint(sf_dir: str, fingerprint_files: tuple[str, ...]) -> str:
+    h = hashlib.md5(os.path.realpath(sf_dir).encode())
+    for rel in fingerprint_files:
+        p = os.path.join(sf_dir, rel)
+        st = os.stat(p)
+        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
+
+
+def materialize_derived(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    parts: tuple[str, ...],
+    builds: Callable[[], dict[str, tuple[DataFrame, str, str | None]]],
+    fingerprint_files: tuple[str, ...] = ("lineitem.parquet",),
+    n_buckets: int = 8,
+) -> dict[str, DataFrame]:
+    """Return ``{part: bucketed DataFrame}`` for a named derivation.
+
+    ``builds()`` is called only on a cache miss and returns
+    ``{part_name: (df, bucket_col, sort_col)}`` covering exactly
+    ``parts``; every part is persisted via :func:`write_bucketed`
+    under one fingerprint so the parts are always mutually consistent
+    (built from one pass over the same inputs). A cache hit requires
+    ALL declared parts registered — a partially-written derivation is
+    rebuilt, never half-served. ``n_buckets`` is the local-test size —
+    at lake scale pick ~(part size / 128 MB) per write_bucketed's doc.
+    """
+    global _cleanup_registered
+    key = _fingerprint(sf_dir, fingerprint_files)
+    tables = {p: f"mcs_{name}_{key}_{p}" for p in parts}
+    if all(spark.catalog.tableExists(t) for t in tables.values()):
+        return {p: spark.table(t) for p, t in tables.items()}
+    built = builds()
+    assert set(built) == set(parts), (
+        f"builds() returned {sorted(built)}, declared {sorted(parts)}"
+    )
+    out: dict[str, DataFrame] = {}
+    for part, (df, bucket_col, sort_col) in built.items():
+        table = tables[part]
+        path = os.path.join(_CACHE_ROOT, table)
+        # ONE file per bucket (repartition on the bucket key into
+        # n_buckets tasks). The elided operator is the EXCHANGE —
+        # Spark 4 never trusts bucketed sortBy metadata at read time
+        # (SPARK-28632: with multi-file buckets the claim could be
+        # wrong, so it is off by default and a per-partition Sort
+        # remains in merge joins); single-file buckets + sortBy still
+        # buy row-group locality and the cheapest possible in-memory
+        # sort (already-ordered input).
+        df = df.repartition(n_buckets, df[bucket_col])
+        write_bucketed(df, table, path, bucket_col, n_buckets, sort_col=sort_col)
+        out[part] = spark.table(table)
+    if not _cleanup_registered and not os.environ.get("SPARK_GRAFT_CACHE_DIR"):
+        atexit.register(shutil.rmtree, _CACHE_ROOT, ignore_errors=True)
+        _cleanup_registered = True
+    return out

@@ -998,7 +998,7 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             q.processAllAvailable()
             got_ew = {
-                r["user_id"]: (r["n"], round(r["ewma"], 6))
+                r["user_id"]: (r["n"], float(r["ewma"]))
                 for r in spark.sql(
                     f"SELECT user_id, max(n_seen) AS n, "
                     f"max_by(ewma, n_seen) AS ewma "
@@ -1011,7 +1011,7 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").desc(), F.col("event_id").desc()
         )
         want_ew = {
-            r["user_id"]: (r["n"], round(r["ewma"], 6))
+            r["user_id"]: (r["n"], float(r["ewma"]))
             for r in REGISTRY["ts_ewma_smooth"]
             .fn(spark, sf_dir)
             .withColumn("rn", F.row_number().over(last))
@@ -1022,7 +1022,18 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         }
-        bad = sum(1 for k in want_ew if got_ew.get(k) != want_ew[k]) + len(
+        # tolerance, not exact equality of round(.,6): the batch op
+        # quantizes values through decimal(18,6) while the stateful
+        # recomputation is raw IEEE float — on the driver's <=2-dp
+        # event values they agree exactly, but higher-precision data
+        # must not flake the suite (advisor r8). n must match exactly;
+        # the estimate within 1e-6 absolute.
+        def _ew_ok(k):
+            g = got_ew.get(k)
+            w = want_ew[k]
+            return g is not None and g[0] == w[0] and abs(g[1] - w[1]) < 1e-6
+
+        bad = sum(1 for k in want_ew if not _ew_ok(k)) + len(
             set(got_ew) - set(want_ew)
         )
         rows.append(

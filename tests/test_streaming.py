@@ -272,3 +272,111 @@ def test_streaming_static_dim_join_matches_batch(spark, event_dir):
         q.stop()
     want = sorted(map(tuple, build(spark.read.parquet(event_dir)).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_checkpoint_restart_matches_batch(
+    spark, event_dir, tmp_path
+):
+    """dropDuplicatesWithinWatermark under a CHECKPOINTED watermarked
+    readStream with a mid-corpus restart (judge r8 item 6): the feed
+    arrives as four ts-ordered single-file micro-batches (the
+    monotone-source discipline), the stream stops after the first two,
+    then restarts from the same checkpoint for the rest. The final
+    sink must equal the batch oracle st_earliest_dedup — one row per
+    (user_id, event_type) carrying its min(ts) — which requires the
+    dedup STATE to survive the restart: any key from the first wave
+    re-emitted in the second would break the count, any key whose
+    first event was dropped would break the min(ts). Watermark is
+    wider than the corpus span so no state is evicted (eviction
+    semantics are covered by the windowed tests); ties at equal ts
+    are broken by event_id file order, matching min(ts) regardless."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "incoming"
+    sink = str(tmp_path / "dedup_sink")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    src.mkdir()
+    events = spark.read.parquet(event_dir)
+    staged = tmp_path / "staged"
+    n = events.count()
+    from pyspark.sql import Window
+
+    ranked = events.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint()
+    files = []
+    for i in range(4):
+        lo, hi = n * i // 4, n * (i + 1) // 4
+        d = staged / f"w{i}"
+        (
+            ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+            .drop("rn")
+            .coalesce(1)
+            .sortWithinPartitions("ts", "event_id")
+            .write.parquet(str(d))
+        )
+        part = next(p for p in sorted(d.glob("part-*.parquet")))
+        files.append(part)
+
+    def run_wave(wave_files, base_mtime):
+        import os
+
+        for k, p in enumerate(wave_files):
+            dst = src / f"b{base_mtime + k}.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (1_700_000_000 + base_mtime + k,) * 2)
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(src))
+        )
+        q = (
+            stream.withWatermark("ts", "30 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type", "ts")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_wave(files[:2], 0)
+    n_first = spark.read.parquet(sink).count()
+    assert n_first > 0
+    run_wave(files[2:], 2)
+
+    got = {
+        (r.user_id, r.event_type): r.ts
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.first_ts
+        for r in sw.st_earliest_dedup(spark, SF).collect()
+    }
+    assert len(got) == len(want)  # restart re-emitted or lost nothing
+    assert got == want  # every kept row is its key's earliest event
+    # the restart actually exercised state restoration: some keys from
+    # the first wave must recur in the second wave's input
+    w1 = spark.read.parquet(str(staged / "w0")).unionByName(
+        spark.read.parquet(str(staged / "w1"))
+    )
+    w2 = spark.read.parquet(str(staged / "w2")).unionByName(
+        spark.read.parquet(str(staged / "w3"))
+    )
+    recurring = (
+        w1.select("user_id", "event_type")
+        .distinct()
+        .join(w2.select("user_id", "event_type").distinct(),
+              ["user_id", "event_type"])
+        .count()
+    )
+    assert recurring > 0, "feed split produced no cross-restart duplicates"

@@ -15,9 +15,16 @@ import json
 import sys
 
 
+def _queries(path: str) -> dict:
+    # round 9 split variants out of per_query; the scaling factors
+    # still want every measured query
+    h = json.load(open(path))
+    return {**h["per_query"], **h.get("variants_per_query", {})}
+
+
 def main() -> None:
-    a = json.load(open(sys.argv[1]))["per_query"]
-    b = json.load(open(sys.argv[2]))["per_query"]
+    a = _queries(sys.argv[1])
+    b = _queries(sys.argv[2])
     common = sorted(set(a) & set(b))
     rows = [
         (n, a[n]["median"], b[n]["median"],

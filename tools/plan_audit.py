@@ -92,7 +92,8 @@ EXPECT: dict[str, dict] = {
     # the three scalar counts assemble via 1-row crossJoins — the
     # scalar-subquery plan; the triangle join itself is two hash
     # equi-joins over the checkpointed edge list
-    "g_triangle_count": {"bnlj_ok": True},
+    "g_triangle_count": {"bnlj_ok": True, "bucketed": "mcs_cp_",
+                         "no_exchange_on": ("src",)},
     "j_asof_join": {},
     "j_range_join": {},
     # lag + cumulative-sum share ONE (user_id, ts, event_id) sort;
@@ -162,7 +163,7 @@ EXPECT: dict[str, dict] = {
     "d_fuzzy_pairs": {},
     # the node-count scalar is a 1-row broadcast per iteration — the
     # scalar-subquery plan; edges live behind a localCheckpoint
-    "g_pagerank_fixed": {"bnlj_ok": True},
+    "g_pagerank_fixed": {"bnlj_ok": True, "bucketed": "mcs_bip_"},
     # filter→dedup→mixture→pack composition: the source-count scalar
     # is the 1-row broadcast; packing adds one range exchange
     "corpus_pipeline_v2": {"bnlj_ok": True},
@@ -193,7 +194,8 @@ EXPECT: dict[str, dict] = {
     # per-node triangle membership: same oriented wedge join as
     # g_triangle_count plus one groupBy on node and a left join back
     # to the degree table — no scalar assembly, no BNLJ
-    "g_clustering_coefficient": {},
+    "g_clustering_coefficient": {"bucketed": "mcs_cp_",
+                                 "no_exchange_on": ("src",)},
     # full-width digest suites are UNION ALLs of member plans; the
     # members' own audit entries (above) carry the per-plan
     # assertions — here the suites inherit their members' sanctioned
@@ -208,6 +210,8 @@ EXPECT: dict[str, dict] = {
     # peel rounds are lineage-truncated localCheckpoints (audited by
     # their own shape: one degree agg + two semi-joins per round);
     # the final plan is the degree aggregate over the converged core
+    # (bucketed mcs_cp_ scan feeds the FIRST peel round, which is
+    # lineage-truncated — not visible in the final formatted plan)
     "g_kcore": {},
     # CDC diff: one full-outer hash join on the business key
     "lake_snapshot_diff": {},
@@ -218,6 +222,7 @@ EXPECT: dict[str, dict] = {
     # frontier rounds are lineage-truncated localCheckpoints (each
     # round: one edges hash join + one anti-join); final plan unions
     # the per-hop checkpointed label sets
+    # (bucketed mcs_bip_ scan feeds each checkpointed frontier round)
     "g_bfs_distance": {},
     # top-40 ranking window is global BUT post-aggregation over the
     # bounded pair domain (alphabet^2 rows) — O(1) at any corpus size
@@ -230,6 +235,7 @@ EXPECT: dict[str, dict] = {
     # LPA rounds are lineage-truncated localCheckpoints (per round:
     # one edge-labels hash join, one (node,label) count, one per-node
     # top-1 window partitioned by node — never single-partition)
+    # (bucketed mcs_bip_ scan feeds each checkpointed LPA round)
     "g_label_propagation": {},
     # per-group p05/p95 cuts broadcast back over the fact side
     "a_winsorize": {"broadcast": 1},
@@ -263,10 +269,10 @@ EXPECT: dict[str, dict] = {
     "a_ks_drift": {"bnlj_ok": True, "single_partition_ok": True},
     # wedge self-join with the degree-capped shared neighbor; top-k
     # via TakeOrderedAndProject (no global sort exchange)
-    "g_node_jaccard": {},
+    "g_node_jaccard": {"bucketed": "mcs_cp_"},
     # same truncated wedge machinery with the 1/ln(deg) term joined
     # on the shared neighbor; top-k via TakeOrderedAndProject
-    "g_adamic_adar": {},
+    "g_adamic_adar": {"bucketed": "mcs_cp_"},
     # narrow map + filter, zero shuffles (with-replacement counts
     # are per-row hash draws)
     "r_poisson_sample": {},
@@ -312,7 +318,8 @@ EXPECT: dict[str, dict] = {
     # plan is fully visible, so the generic checks run; judge r6
     # ADVICE removed the checkpoint_result_ok short-circuit here);
     # the cumulative windows run on the <=32-row log2-bucket domain
-    "g_degree_distribution": {"single_partition_ok": True},
+    "g_degree_distribution": {"single_partition_ok": True,
+                              "bucketed": "mcs_cp_"},
     # fold assignment is map-side hash arithmetic; audit agg on the
     # k-value fold domain with the 1-row total broadcast back
     "r_kfold_split": {"bnlj_ok": True},
@@ -366,7 +373,7 @@ EXPECT: dict[str, dict] = {
     "sim_ivf_pq_ann": {"bnlj_ok": True},
     # teleport-frame join replaces g_pagerank_fixed's 1-row scalar
     # broadcast; same unrolled iteration shape otherwise
-    "g_personalized_pagerank": {"bnlj_ok": True},
+    "g_personalized_pagerank": {"bnlj_ok": True, "bucketed": "mcs_bip_"},
     # the two-scalar totals row joins conditionlessly onto the
     # 64-bucket histogram (1-row BNLJ); the log-ratio frame then
     # broadcasts back onto the token stream
@@ -388,7 +395,7 @@ EXPECT: dict[str, dict] = {
     "t_pmi_cooccur": {"bnlj_ok": True, "broadcast": 1},
     # per-iteration 1-row L1-total crossJoins (BNLJ) — the pagerank
     # scalar-broadcast shape, twice per round
-    "g_hits_scores": {"bnlj_ok": True},
+    "g_hits_scores": {"bnlj_ok": True, "bucketed": "mcs_bip_"},
     # per-type mean frame broadcasts back onto the event stream;
     # both windows share one (event_type; ts, event_id) sort
     "ev_cusum_changepoint": {"broadcast": 1},
@@ -642,7 +649,18 @@ def audit_executed_plans(spark, qs) -> tuple[list[str], dict[str, list[str]]]:
                     )
             elif "isFinalPlan=true" not in s:
                 errs.append("adaptive plan never finalized")
-            if "Exchange" in s and "AQEShuffleRead" not in s:
+            # only KEYED shuffles are coalesce-able: a scalar-agg
+            # Exchange SinglePartition (and broadcast exchanges) give
+            # AQE nothing to re-plan — a plan whose only exchanges are
+            # those is the shuffle-elision success case (bucketed
+            # scans), not a missed AQE engagement
+            keyed_shuffle = any(
+                "Exchange" in line
+                and "SinglePartition" not in line
+                and "BroadcastExchange" not in line
+                for line in s.splitlines()
+            )
+            if keyed_shuffle and "AQEShuffleRead" not in s:
                 errs.append(
                     "plan shuffles but AQEShuffleRead absent — runtime "
                     "partition coalescing never engaged"
@@ -694,6 +712,21 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
         n = plan.count("BroadcastHashJoin")
         if n < exp["broadcast"]:
             errs.append(f"expected >= {exp['broadcast']} BroadcastHashJoin, saw {n}")
+    if "bucketed" in exp:
+        # the shared-graph contract (judge r8 item 1): the query must
+        # READ the persisted bucketed derived table, not rebuild the
+        # edge list from lineitem
+        if not re.search(
+            rf"Scan parquet spark_catalog\.default\.{exp['bucketed']}", plan
+        ):
+            errs.append(f"expected a bucketed scan of {exp['bucketed']}*")
+    for keycol in exp.get("no_exchange_on", ()):
+        # bucketed-layout shuffle elision: a keyed Exchange on this
+        # column means the join stopped using the bucket layout
+        if re.search(rf"Exchange hashpartitioning\({keycol}#", plan):
+            errs.append(
+                f"Exchange on {keycol} despite the bucketed layout"
+            )
     return errs
 
 
