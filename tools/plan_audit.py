@@ -592,6 +592,33 @@ def audit_executed_plans(spark, qs) -> tuple[list[str], dict[str, list[str]]]:
             write_verdict_table(spark, load(spark, SF_DIR, "documents"), out)
             return consume_verdicts(spark, read_verdict_table(spark, out))
 
+        def _als_scoring():
+            from pyspark.ml.recommendation import ALS
+
+            from mathorcup_spark.ml.pipelines import (
+                ALS_N_QUERY_USERS,
+                ALS_TOP_K,
+                SEED,
+                als_ratings,
+            )
+
+            ratings = als_ratings(spark, SF_DIR)
+            model = ALS(
+                rank=8, maxIter=5, regParam=0.1, userCol="user",
+                itemCol="item", ratingCol="rating", seed=SEED,
+                coldStartStrategy="drop",
+            ).fit(ratings)
+            users = (
+                ratings.select("user").distinct().orderBy("user")
+                .limit(ALS_N_QUERY_USERS)
+            )
+            from pyspark.sql import functions as F
+
+            recs = model.recommendForUserSubset(users, ALS_TOP_K)
+            return recs.select(
+                "user", F.posexplode("recommendations").alias("pos", "rec")
+            )
+
         def _bpe_pass_stage():
             from mathorcup_spark.functions.text import (
                 bpe_pair_counts_of,
@@ -615,6 +642,17 @@ def audit_executed_plans(spark, qs) -> tuple[list[str], dict[str, list[str]]]:
             # runtime is the per-subspace KMeans fits; the Spark-plan
             # half is the same quantize pipeline the deterministic
             # variant runs end to end
+            # runtime is the block-partitioned ALS sweeps (MLlib-
+            # internal); the Spark-plan half is the ratings build +
+            # the bounded recommendForUserSubset scoring frame
+            "ml_als_recommend": ("ALS ratings + scoring", _als_scoring),
+            # runtime is KMeans + codebook fits + the self-asserted
+            # recall measurement; the Spark-plan half is the same
+            # ADC+rescore pipeline the deterministic face runs
+            "sim_ivf_pq_rerank_learned": (
+                "IVF-PQ rerank core",
+                lambda: qs["sim_ivf_pq_rerank"](spark, SF_DIR),
+            ),
             "sim_pq_quantize_learned": (
                 "PQ quantize core",
                 lambda: qs["sim_pq_quantize"](spark, SF_DIR),
