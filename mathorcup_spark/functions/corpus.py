@@ -592,8 +592,11 @@ def _register_corpus_v5() -> None:
         )
 
         docs = load(spark, sf_dir, "documents")
-        t = int(docs.agg(F.expr("(max(doc_id) * 3) div 5")).first()[0])
-        t2 = int(docs.agg(F.expr("(max(doc_id) * 4) div 5")).first()[0])
+        ts = docs.agg(
+            F.expr("(max(doc_id) * 3) div 5"),
+            F.expr("(max(doc_id) * 4) div 5"),
+        ).first()
+        t, t2 = int(ts[0]), int(ts[1])
         out = tempfile.mkdtemp(prefix="mathorcup_verdicts_incr_")
         try:
             n0, c0 = create_verdict_table(

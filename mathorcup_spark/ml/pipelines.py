@@ -302,10 +302,13 @@ def als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def als_recommend(
+    spark: SparkSession, sf_dir: str, ratings: DataFrame | None = None
+) -> DataFrame:
     from pyspark.ml.recommendation import ALS
 
-    ratings = als_ratings(spark, sf_dir)
+    if ratings is None:
+        ratings = als_ratings(spark, sf_dir)
     als = ALS(
         rank=8,
         maxIter=5,

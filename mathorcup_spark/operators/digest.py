@@ -341,10 +341,19 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("semantic_dedup_learned", "d_semantic_dedup_learned",
      [("check", "string"), ("n_keys", "num"), ("n_mismatch", "num"),
       ("ok", "num")]),
+    ("semantic_dedup_capped", "d_semantic_dedup_capped",
+     [("vec_id", "num"), ("cent_id", "num"), ("is_survivor", "num"),
+      ("dup_of", "num"), ("dup_cos", "double")]),
     ("graph_propagate", "ml_graph_propagate",
      [("node_id", "num"), ("f0", "double"), ("f1", "double"),
       ("fsum", "double")]),
+    ("graph_propagate_basis", "ml_graph_propagate_basis",
+     [("node_id", "num"), ("f0", "double"), ("f1", "double"),
+      ("fsum", "double")]),
     ("ivf_pq_rerank", "sim_ivf_pq_rerank",
+     [("q_id", "num"), ("c_id", "num"), ("exact_d2", "double"),
+      ("rnk", "num")]),
+    ("ivf_pq_rerank_qcells", "sim_ivf_pq_rerank_qcells",
      [("q_id", "num"), ("c_id", "num"), ("exact_d2", "double"),
       ("rnk", "num")]),
     ("ivf_pq_rerank_learned", "sim_ivf_pq_rerank_learned",

@@ -29,9 +29,9 @@ def write_bucketed(
     df: DataFrame,
     table: str,
     path: str,
-    bucket_col: str,
+    bucket_col: str | tuple[str, ...],
     n_buckets: int,
-    sort_col: str | None = None,
+    sort_col: str | tuple[str, ...] | None = None,
     partition_by: list[str] | None = None,
 ) -> None:
     """Persist ``df`` as a Parquet table bucketed on ``bucket_col``.
@@ -42,14 +42,16 @@ def write_bucketed(
     ~(table size / 128 MB) rounded to a power of two, identical for
     every table sharing the join key.
     """
+    bucket_cols = (bucket_col,) if isinstance(bucket_col, str) else tuple(bucket_col)
     writer = (
         df.write.mode("overwrite").format("parquet").option("path", path)
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer = writer.bucketBy(n_buckets, bucket_col)
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
     if sort_col:
-        writer = writer.sortBy(sort_col)
+        sort_cols = (sort_col,) if isinstance(sort_col, str) else tuple(sort_col)
+        writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
 
 
@@ -140,7 +142,8 @@ def materialize_derived(
         # remains in merge joins); single-file buckets + sortBy still
         # buy row-group locality and the cheapest possible in-memory
         # sort (already-ordered input).
-        df = df.repartition(n_buckets, df[bucket_col])
+        bcols = (bucket_col,) if isinstance(bucket_col, str) else tuple(bucket_col)
+        df = df.repartition(n_buckets, *[df[c] for c in bcols])
         write_bucketed(df, table, path, bucket_col, n_buckets, sort_col=sort_col)
         out[part] = spark.table(table)
     if not _cleanup_registered and not os.environ.get("SPARK_GRAFT_CACHE_DIR"):

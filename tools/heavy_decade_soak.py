@@ -32,6 +32,7 @@ from mathorcup_spark.session import get_spark
 
 OPS = (
     "d_semantic_dedup_learned",
+    "d_semantic_dedup_capped",
     "sim_pq_quantize_learned",
     "ml_als_recommend",
 )

@@ -349,6 +349,8 @@ EXPECT: dict[str, dict] = {
     # stage is a cent_id equi-join (cluster-bounded, never all-pairs);
     # per-vector argmax window partitions on vec_id
     "d_semantic_dedup": {"bnlj_ok": True},
+    # same assignment+window+pair shape; cap/window literals only
+    "d_semantic_dedup_capped": {"bnlj_ok": True},
     # map-side Poisson weights + one groupBy(replicate); the ranking
     # window is global but runs over exactly B=32 rows at any scale
     "a_bootstrap_ci": {"single_partition_ok": True},
@@ -371,6 +373,9 @@ EXPECT: dict[str, dict] = {
     # intended constant-size BNLJ (the sim_ivf_ann shape); codebook
     # + LUT joins broadcast
     "sim_ivf_pq_ann": {"bnlj_ok": True},
+    # quantile-cell det face: same ADC+rescore chain; the rank feeding
+    # the cell selection is ids.dense_ids (range-partitioned)
+    "sim_ivf_pq_rerank_qcells": {"bnlj_ok": True},
     # teleport-frame join replaces g_pagerank_fixed's 1-row scalar
     # broadcast; same unrolled iteration shape otherwise
     "g_personalized_pagerank": {"bnlj_ok": True, "bucketed": "mcs_bip_"},
@@ -627,6 +632,34 @@ def audit_executed_plans(spark, qs) -> tuple[list[str], dict[str, list[str]]]:
 
             return bpe_pair_counts_of(bpe_vocab_from(spark, SF_DIR))
 
+        def _lpa_round_stage():
+            # one LPA round over the bucketed bipartite edges — the
+            # hot per-iteration stage; the registered query's final
+            # frame is a checkpointed-RDD scan (lineage truncated per
+            # round), which AQE never wraps
+            from pyspark.sql import Window as W
+            from pyspark.sql import functions as F
+
+            from mathorcup_spark.operators.graph import _bipartite_edges
+
+            edges = _bipartite_edges(spark, SF_DIR)
+            labels = edges.select("src").distinct().select(
+                F.col("src").alias("node"), F.col("src").alias("label")
+            )
+            nbr = edges.join(labels, edges.src == labels.node).select(
+                F.col("dst").alias("v"), "label"
+            )
+            cnt = nbr.groupBy("v", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            w = W.partitionBy("v").orderBy(
+                F.col("cnt").desc(), F.col("label")
+            )
+            return (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+            )
+
         _EXEC_SUBSTITUTES = {
             "corpus_pipeline_v5": ("verdict consumer", _verdict_consumer),
             "corpus_pipeline_v4": ("verdict consumer", _verdict_consumer),
@@ -646,6 +679,7 @@ def audit_executed_plans(spark, qs) -> tuple[list[str], dict[str, list[str]]]:
             # internal); the Spark-plan half is the ratings build +
             # the bounded recommendForUserSubset scoring frame
             "ml_als_recommend": ("ALS ratings + scoring", _als_scoring),
+            "g_label_propagation": ("LPA round", _lpa_round_stage),
             # runtime is KMeans + codebook fits + the self-asserted
             # recall measurement; the Spark-plan half is the same
             # ADC+rescore pipeline the deterministic face runs

@@ -27,7 +27,7 @@ from mathorcup_spark.catalog import load
 from mathorcup_spark.session import get_spark
 
 
-def recall_at(spark, sf_dir: str) -> tuple[float, float, int]:
+def recall_at(spark, sf_dir: str) -> tuple[float, float, float, int]:
     v = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
@@ -57,7 +57,12 @@ def recall_at(spark, sf_dir: str) -> tuple[float, float, int]:
     qs = registry.queries()
     adc = qs["sim_ivf_pq_ann"](spark, sf_dir).join(truth, ["q_id", "c_id"]).count()
     rr = qs["sim_ivf_pq_rerank"](spark, sf_dir).join(truth, ["q_id", "c_id"]).count()
-    return adc / n, rr / n, n
+    qc = (
+        qs["sim_ivf_pq_rerank_qcells"](spark, sf_dir)
+        .join(truth, ["q_id", "c_id"])
+        .count()
+    )
+    return adc / n, rr / n, qc / n, n
 
 
 def main() -> int:
@@ -66,10 +71,11 @@ def main() -> int:
     qs = registry.queries()
     print(
         "| dir | det ADC recall@5 | det rerank recall@5 |"
-        " learned rerank (self-asserted >= 0.4) |\n|---|---|---|---|"
+        " qcells rerank recall@5 |"
+        " learned rerank (self-asserted >= 0.4) |\n|---|---|---|---|---|"
     )
     for d in dirs:
-        a, r, n = recall_at(spark, d)
+        a, r, qcr, n = recall_at(spark, d)
         # the learned face self-asserts its floor and dominance — a
         # green run IS the recall evidence; it raises otherwise
         try:
@@ -77,7 +83,10 @@ def main() -> int:
             learned = "green"
         except Exception as e:  # pragma: no cover - soak diagnostics
             learned = f"FAIL: {str(e)[:80]}"
-        print(f"| `{d}` | {a:.2f} | {r:.2f} | {learned} |", flush=True)
+        print(
+            f"| `{d}` | {a:.2f} | {r:.2f} | {qcr:.2f} | {learned} |",
+            flush=True,
+        )
         assert r >= a, "rerank must dominate raw ADC"
     return 0
 
