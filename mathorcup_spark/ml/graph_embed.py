@@ -11,12 +11,14 @@ place in the engine where imperative control flow is genuinely
 required (SURVEY §4.2: "no custom Catalyst rule — just loop
 discipline").
 
-Feature vectors are ``array<double>`` columns; the per-edge transform
-is a relation-dependent *scalar* gate (the basis-decomposition
-special case with one basis) so everything stays in JVM array
-arithmetic — zip_with/transform — with no Python in the loop. The
-full-matrix variant slots a Pandas-UDF matmul into ``_edge_message``
-without touching the propagation skeleton.
+Feature vectors are ``array<double>`` columns. Three registered
+faces share one propagation skeleton, differing only in the per-edge
+transform — all JVM array arithmetic, no Python in the loop:
+``ml_graph_propagate`` (scalar gate = the one-basis special case),
+``ml_graph_propagate_basis`` (B-basis scalar mixture), and
+``ml_graph_propagate_rgcn`` (the full per-relation MATRIX transform
+W_r = sum_b a_{r,b} V_b of the reference layer, plugged in via
+``msg_fn`` = ``basis_matrix_msg``).
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def propagate(
     n_dims: int | None = None,
     exact_sum: bool = False,
     gate=None,
+    msg_fn=None,
 ) -> DataFrame:
     """Iterative mean-aggregation message passing.
 
@@ -53,7 +56,11 @@ def propagate(
     ``gate`` is any Column over the edge's ``rel`` (default the
     one-basis special case gate(r) = 1 / (1 + r); ``basis_gate``
     builds the B-basis mixture matching the reference's RGCN basis
-    decomposition).
+    decomposition). ``msg_fn`` overrides the whole per-edge message
+    builder: a callable (feat column name) -> array Column, free to
+    reference ``rel`` — ``basis_matrix_msg`` plugs the full
+    per-relation MATRIX transform in here without touching the
+    propagation skeleton.
 
     Deterministic (mean via exact count + per-dimension sum of gated
     features; summation order inside a dimension is engine-managed but
@@ -75,6 +82,9 @@ def propagate(
         n_dims = len(nodes.select("feat").head()[0])
     if gate is None:
         gate = 1.0 / (1.0 + F.col("rel").cast("double"))
+    if msg_fn is None:
+        def msg_fn(feat_col, _g=gate):
+            return F.transform(feat_col, lambda x: x * _g)
     feats = nodes
 
     def _dim_sum(i: int):
@@ -88,7 +98,7 @@ def propagate(
             edges.join(feats.withColumnRenamed("node_id", "src"), "src")
             .select(
                 F.col("dst").alias("node_id"),
-                F.transform("feat", lambda x: x * gate).alias("msg"),
+                msg_fn("feat").alias("msg"),
             )
         )
         # One groupBy(node_id) with a sum per dimension column: the
@@ -265,7 +275,9 @@ def ml_graph_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _propagate_query(spark, sf_dir)
 
 
-def _propagate_query(spark: SparkSession, sf_dir: str, gate=None) -> DataFrame:
+def _propagate_query(
+    spark: SparkSession, sf_dir: str, gate=None, msg_fn=None
+) -> DataFrame:
     # small deterministic graph: suppliers as nodes, lineitem part->supp
     # co-occurrence as edges, one-hot-ish features from the node id
     lineitem = load(spark, sf_dir, "lineitem")
@@ -290,7 +302,8 @@ def _propagate_query(spark: SparkSession, sf_dir: str, gate=None) -> DataFrame:
         )
     )
     out = propagate(
-        nodes, edges, n_layers=_GP_LAYERS, exact_sum=True, gate=gate
+        nodes, edges, n_layers=_GP_LAYERS, exact_sum=True, gate=gate,
+        msg_fn=msg_fn,
     )
     return out.select(
         "node_id",
@@ -319,3 +332,171 @@ def _propagate_query(spark: SparkSession, sf_dir: str, gate=None) -> DataFrame:
 )
 def ml_graph_propagate_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _propagate_query(spark, sf_dir, gate=basis_gate())
+
+# --- full-matrix RGCN face ---------------------------------------------------
+
+_MM_BASES = 2  # shared 8x8 basis matrices mixed per relation
+_MM_A = 2654435761
+_MM_M = 1000003
+
+
+def _mm_v(b: int, i: int, j: int, n_dims: int = _GP_DIMS) -> float:
+    """Deterministic basis-matrix entry V_b[i][j] in (-0.5, 0.5) — the
+    sim_lsh integer-hash weight formula, so it is seedless and
+    re-derivable in SQL (exact: int ops exact in both engines, one
+    correctly-rounded division each)."""
+    return ((b * n_dims * n_dims + i * n_dims + j) * _MM_A % _MM_M) / _MM_M - 0.5
+
+
+def basis_matrix_msg(n_bases: int = _MM_BASES, n_dims: int = _GP_DIMS):
+    """Per-edge message = W_r · feat with W_r = sum_b coef(r, b) V_b —
+    the reference RGCN layer's actual basis-decomposed per-relation
+    weight MATRIX (src/model/rgcn.py:45-125), not its scalar special
+    case. coef(r, b) = (((r + b) mod B) + 1) / (B + 1) as in
+    basis_gate; V_b entries from _mm_v. Expressed as n_dims unrolled
+    left-associative folds over the source feature (64 multiply-adds
+    per edge for 8 dims) — whole-stage-codegen JVM arithmetic whose
+    evaluation order the DuckDB oracle replays term for term."""
+
+    def w(i: int, j: int):
+        g = None
+        for b in range(n_bases):
+            coef = (
+                ((F.col("rel") + F.lit(b)) % n_bases + 1).cast("double")
+                / (n_bases + 1)
+            )
+            term = coef * F.lit(_mm_v(b, i, j, n_dims))
+            g = term if g is None else g + term
+        return g
+
+    def msg(feat_col: str):
+        outs = []
+        for i in range(n_dims):
+            acc = F.lit(0.0)
+            for j in range(n_dims):
+                acc = acc + F.col(feat_col).getItem(j) * w(i, j)
+            outs.append(acc)
+        return F.array(*outs)
+
+    return msg
+
+
+def _mm_w_sql(
+    i_expr: str, j: int, n_bases: int = _MM_BASES, rel: str = "s.rel"
+) -> str:
+    """SQL for w(rel, i, j) with i a SQL expression and j a literal —
+    the same left-assoc basis fold as basis_matrix_msg.w; V_b entries
+    re-derived by the integer-hash formula (exact cross-engine)."""
+    terms = []
+    for b in range(n_bases):
+        coef = (
+            f"(CAST((({rel} + {b}) % {n_bases}) + 1 AS DOUBLE)"
+            f" / {n_bases + 1})"
+        )
+        v = (
+            f"(CAST(({b} * {_GP_DIMS * _GP_DIMS} + {i_expr} * {_GP_DIMS}"
+            f" + {j}) * {_MM_A} % {_MM_M} AS DOUBLE) / {_MM_M} - 0.5)"
+        )
+        terms.append(f"{coef} * {v}")
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return f"({out})"
+
+
+def _graph_propagate_rgcn_oracle() -> str:
+    """DuckDB replay of the full-matrix propagation: per edge the
+    source feature is re-assembled as an ordered list, each out-dim's
+    message is the unrolled left-assoc fold over in-dims (bitwise the
+    Spark expression), quantized through DECIMAL(20,18) before the
+    per-(node, out-dim) sum — the ml_graph_propagate discipline with
+    a matrix in place of the scalar gate."""
+    msg = "CAST(0 AS DOUBLE)"
+    for j in range(_GP_DIMS):
+        msg = f"({msg} + s.fv[{j + 1}] * {_mm_w_sql('d.dim', j)})"
+    ctes = [
+        f"""
+        e AS (
+          SELECT DISTINCT l_partkey AS src, l_linenumber % 3 AS rel,
+                          l_suppkey AS dst
+          FROM lineitem
+        ), n AS (
+          SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e
+        ), dims AS (
+          SELECT dim FROM range({_GP_DIMS}) t(dim)
+        ), f0 AS (
+          SELECT node, dim,
+                 CASE WHEN node % {_GP_DIMS} = dim
+                      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS val
+          FROM n CROSS JOIN dims
+        )"""
+    ]
+    for i in range(1, _GP_LAYERS + 1):
+        ctes.append(f"""
+        s{i} AS (
+          SELECT e.src, e.rel, e.dst, list(f.val ORDER BY f.dim) AS fv
+          FROM e JOIN f{i - 1} f ON f.node = e.src
+          GROUP BY e.src, e.rel, e.dst
+        ), a{i} AS (
+          SELECT s.dst AS node, d.dim,
+                 CAST(count(*) AS BIGINT) AS n_in,
+                 CAST(sum(CAST({msg}
+                               AS DECIMAL(20,18))) AS DOUBLE) AS sm
+          FROM s{i} s
+               CROSS JOIN (SELECT dim FROM range({_GP_DIMS}) t(dim)) d
+          GROUP BY s.dst, d.dim
+        ), f{i} AS (
+          SELECT f.node, f.dim,
+                 CASE WHEN a.n_in IS NOT NULL
+                      THEN CAST(0.5 AS DOUBLE) * f.val
+                           + CAST(0.5 AS DOUBLE) * (a.sm / a.n_in)
+                      ELSE f.val * CAST(0.5 AS DOUBLE) END AS val
+          FROM f{i - 1} f
+          LEFT JOIN a{i} a ON a.node = f.node AND a.dim = f.dim
+        )""")
+    vs = ", ".join(
+        f"max(CASE WHEN dim = {d} THEN val END) AS v{d}"
+        for d in range(_GP_DIMS)
+    )
+    fsum = "CAST(0 AS DOUBLE)"
+    for d in range(_GP_DIMS):
+        fsum = f"({fsum} + v{d})"
+    return (
+        "WITH " + ",".join(ctes)
+        + f""",
+        wide AS (
+          SELECT node, {vs} FROM f{_GP_LAYERS} GROUP BY node
+        )
+        SELECT CAST(node AS BIGINT) AS node_id,
+               round(v0, 6) AS f0, round(v1, 6) AS f1,
+               round({fsum}, 6) AS fsum
+        FROM wide
+        """
+    )
+
+
+@register(
+    "ml_graph_propagate_rgcn",
+    oracle=_graph_propagate_rgcn_oracle(),
+    doc="G4 with the reference RGCN layer's FULL basis-decomposed "
+    "per-relation weight MATRIX (src/model/rgcn.py:45-125: "
+    f"W_r = sum_b a_{{r,b}} V_b, here B={_MM_BASES} shared 8x8 basis "
+    "matrices with deterministic integer-hash entries and the "
+    "basis_gate mixture coefficients) — the last structural gap "
+    "between the engine's G4 and the reference closed: messages are "
+    "true matrix-vector products, not scalar gates. Same skeleton "
+    "(mean aggregation, self-mix, driver layer loop), same "
+    "decimal(20,18) per-message quantization; the oracle re-derives "
+    "every V_b entry, re-assembles each edge's source feature as an "
+    "ordered list, and replays the unrolled left-associative "
+    "64-multiply-add fold bitwise, so the whole matrix propagation "
+    "is DuckDB-hash-verified end to end. Spark shape: the matmul is "
+    "an unrolled whole-stage-codegen expression over the array "
+    "column — no Python, no explode; per-edge cost is dims^2 "
+    "multiply-adds, row count stays |edges|.",
+    tags=("G4", "M1", "ml"),
+)
+def ml_graph_propagate_rgcn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _propagate_query(spark, sf_dir, msg_fn=basis_matrix_msg())
+

@@ -350,6 +350,9 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("graph_propagate_basis", "ml_graph_propagate_basis",
      [("node_id", "num"), ("f0", "double"), ("f1", "double"),
       ("fsum", "double")]),
+    ("graph_propagate_rgcn", "ml_graph_propagate_rgcn",
+     [("node_id", "num"), ("f0", "double"), ("f1", "double"),
+      ("fsum", "double")]),
     ("ivf_pq_rerank", "sim_ivf_pq_rerank",
      [("q_id", "num"), ("c_id", "num"), ("exact_d2", "double"),
       ("rnk", "num")]),

@@ -57,3 +57,45 @@ def test_deterministic_across_runs(spark, tiny_graph):
     a = sorted(map(tuple, propagate(nodes, edges, 2).collect()))
     b = sorted(map(tuple, propagate(nodes, edges, 2).collect()))
     assert a == b
+
+
+def test_matrix_msg_hand_computed(spark, tiny_graph):
+    """The full-matrix face: one layer over the tiny graph must equal
+    the NumPy-free hand replay msg = W_r · feat with
+    W_r = sum_b coef(r,b) V_b (basis_matrix_msg's exact algebra)."""
+    from mathorcup_spark.ml.graph_embed import _mm_v, basis_matrix_msg
+
+    nodes, edges = tiny_graph
+
+    def w(rel, i, j, B=2):
+        acc = None
+        for b in range(B):
+            coef = (((rel + b) % B) + 1) / (B + 1)
+            term = coef * _mm_v(b, i, j, 2)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def matvec(rel, feat):
+        out = []
+        for i in range(2):
+            acc = 0.0
+            for j in range(2):
+                acc = acc + feat[j] * w(rel, i, j)
+            out.append(acc)
+        return out
+
+    got = {
+        r.node_id: r.feat
+        for r in propagate(
+            nodes, edges, n_layers=1,
+            msg_fn=basis_matrix_msg(n_bases=2, n_dims=2),
+        ).collect()
+    }
+    # node 2 receives msgs from 0 (rel 0, feat [1,0]) and 1 (rel 1,
+    # feat [0,1]); mean then 0.5/0.5 self-mix with [2,2]
+    m0, m1 = matvec(0, [1.0, 0.0]), matvec(1, [0.0, 1.0])
+    mean = [(a + b) / 2 for a, b in zip(m0, m1)]
+    want2 = [0.5 * 2.0 + 0.5 * m for m in mean]
+    assert got[2] == pytest.approx(want2, abs=1e-12)
+    # node 0: no in-edges -> pure self decay
+    assert got[0] == [0.5, 0.0]
