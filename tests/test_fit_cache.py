@@ -97,3 +97,26 @@ def test_banded_self_join_reads_cobucketed(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_fingerprint_guards_staleness(spark, tmp_path):
+    """A regenerated input file (same path, new mtime/size) must map
+    to a DIFFERENT cache key — stale artifacts can never be served."""
+    import shutil
+
+    from mathorcup_spark.sources.layout import _fingerprint
+
+    d = tmp_path / "sfcopy"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", d / "embeddings.parquet")
+    k1 = _fingerprint(str(d), ("embeddings.parquet",))
+    # touch with a different mtime (content change stand-in)
+    import os
+
+    st = os.stat(d / "embeddings.parquet")
+    os.utime(d / "embeddings.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    k2 = _fingerprint(str(d), ("embeddings.parquet",))
+    assert k1 != k2
+    # and distinct sf dirs never collide even with identical files
+    k3 = _fingerprint(SF_DIR, ("embeddings.parquet",))
+    assert k3 not in (k1, k2)
