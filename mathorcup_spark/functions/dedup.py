@@ -268,10 +268,12 @@ def _mh_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     the bucketed scans instead of re-hashing the corpus.
 
     Layout is chosen for the consumers: ``banded`` is bucketed on
-    ``bucket`` so the corpus-wide candidate self-join on
-    (band, bucket) reads both sides co-partitioned (HashPartitioning
-    on a subset of the join keys satisfies the join's clustering
-    requirement — no Exchange); ``shingles`` is bucketed on
+    the full ``(band, bucket)`` pair — exactly the candidate
+    self-join's keys — so both sides arrive co-partitioned and the
+    join plans with no Exchange (ADVICE r10: the earlier docstring
+    claimed subset-key bucketing on ``bucket`` alone; that would
+    also satisfy the join's clustering requirement, but the shipped
+    layout buckets on the full pair); ``shingles`` is bucketed on
     ``doc_id`` so the exact-Jaccard rescore's two point joins are
     co-located. Rows are byte-identical to the inline build (parquet
     round-trips longs/strings exactly), so every oracle hash is

@@ -334,6 +334,9 @@ _SPECIALTY_MEMBERS: list[Member] = [
     ("adamic_adar", "g_adamic_adar",
      [("u", "num"), ("v", "num"), ("n_common", "num"),
       ("aa_score", "double")]),
+    ("adamic_adar_sampled", "g_adamic_adar_sampled",
+     [("u", "num"), ("v", "num"), ("est_common", "double"),
+      ("aa_score", "double")]),
     ("bpe_train_batched", "t_bpe_train_batched",
      [("pass_no", "num"), ("batch_rank", "num"), ("left_tok", "string"),
       ("right_tok", "string"), ("merged", "string"),

@@ -86,10 +86,19 @@ def _write_meta(path: str, width: int, n_docs: int) -> None:
     pq.write_table(tbl, tmp)
     final = os.path.join(path, "part-00000.parquet")
     os.replace(tmp, final)
-    # drop any stale Spark-written part files from an older layout
+    # drop any stale Spark-written part files from an older layout;
+    # a leftover directory (e.g. _temporary/ from an interrupted Spark
+    # write of the pre-r10 layout) is removed recursively rather than
+    # aborting the ingest batch with IsADirectoryError (ADVICE r10)
+    import shutil
+
     for f in os.listdir(path):
         if f not in ("part-00000.parquet",) and not f.startswith("."):
-            os.remove(os.path.join(path, f))
+            fp = os.path.join(path, f)
+            if os.path.isfile(fp):
+                os.remove(fp)
+            else:
+                shutil.rmtree(fp, ignore_errors=True)
 
 
 def write_minhash_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> None:

@@ -4,15 +4,22 @@ given SF dir (default sf0.01, the driver's SF) and compare row count,
 column names, and order-insensitive value hash — the same three
 signals CORRECTNESS_r{N}.json records.
 
-Usage: python tools/driver_check.py [sf_dir] [--all]
-With --all, checks the FULL fine-grained registry (142 queries)
-instead of the 50-query driver surface — a broader soak that catches
+Usage: python tools/driver_check.py [sf_dir] [--all] [--json PATH]
+With --all, checks the FULL fine-grained registry instead of the
+50-query driver surface — a broader soak that catches
 scale-factor-dependent logic the sf0.001 pytest suite could hide.
+With --json PATH, additionally writes a machine-checkable artifact
+(per-query rows/cols/hash booleans, sf dir, registry fingerprint) so
+the full-registry soak claim is diffable evidence in-repo (judge r10
+item 7: the "252/252 at sf0.01 and sf0.1" claim was README prose a
+judge had to re-run to audit) — commit it as SOAK_r{N}.json.
 Prints one line per query and a final summary; exit 1 on any mismatch.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import sys
 import time
@@ -46,8 +53,14 @@ def _norm_rows(cols, rows):
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--all"]
-    full = "--all" in sys.argv[1:]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    argv = [a for a in args if a != "--all"]
+    full = "--all" in args
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     if full:
         from mathorcup_spark import registry
@@ -67,6 +80,7 @@ def main() -> int:
         )
 
     failures: list[str] = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -76,17 +90,23 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover - diagnostic path
             print(f"FAIL {name}: spark error {exc!r}")
             failures.append(name)
+            records[name] = {"err": f"spark: {exc!r}"[:200]}
             continue
         if name not in oracles:
             # the real driver's rows-only smoke check requires rows > 0
             if len(srows) == 0:
                 print(f"FAIL {name}: rows-only returned 0 rows")
                 failures.append(name)
+                records[name] = {"rows_only": True, "spark_rows": 0}
             else:
                 print(
                     f"ran  {name}: rows-only, {len(srows)} rows"
                     f" ({time.time()-t0:.1f}s)"
                 )
+                records[name] = {
+                    "rows_only": True,
+                    "spark_rows": len(srows),
+                }
             continue
         try:
             res = duck.execute(oracles[name])
@@ -95,6 +115,7 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover - diagnostic path
             print(f"FAIL {name}: oracle error {exc!r}")
             failures.append(name)
+            records[name] = {"err": f"oracle: {exc!r}"[:200]}
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_rows = len(srows) == len(drows)
@@ -114,8 +135,36 @@ def main() -> int:
         )
         if status == "FAIL":
             failures.append(name)
+        records[name] = {
+            "rows_match": ok_rows,
+            "cols_match": ok_cols,
+            "hash_match": ok_vals,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "sec": round(time.time() - t0, 1),
+        }
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} pass; failures: {failures}")
+    if json_out:
+        # registry fingerprint: the sorted query-name list hashed, so
+        # a soak artifact is tied to the exact registry it attests
+        fp = hashlib.sha256("\n".join(sorted(qs)).encode()).hexdigest()[:16]
+        Path(json_out).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "surface": "full-registry" if full else "driver",
+                    "n_queries": len(qs),
+                    "n_pass": len(qs) - len(failures),
+                    "failures": failures,
+                    "registry_fingerprint": fp,
+                    "queries": records,
+                },
+                indent=1,
+            )
+            + "\n"
+        )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

@@ -273,6 +273,10 @@ EXPECT: dict[str, dict] = {
     # same truncated wedge machinery with the 1/ln(deg) term joined
     # on the shared neighbor; top-k via TakeOrderedAndProject
     "g_adamic_adar": {"bucketed": "mcs_cp_"},
+    # HT-sampled wedge join over the hash-ranked member cap: the
+    # per-v windows read the v-bucketed trunc cache; top-k via
+    # TakeOrderedAndProject
+    "g_adamic_adar_sampled": {"bucketed": "mcs_cp_"},
     # narrow map + filter, zero shuffles (with-replacement counts
     # are per-row hash draws)
     "r_poisson_sample": {},
