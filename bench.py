@@ -328,6 +328,8 @@ def _build_fit_caches(spark) -> float:
         semdedup_k,
     )
 
+    from mathorcup_spark.ml.pipelines import cached_als_ratings
+
     t0 = time.perf_counter()
     n = int(load(spark, SF_DIR, "embeddings").count())
     for k in {K_CENTROIDS, semdedup_k(n)}:
@@ -336,6 +338,7 @@ def _build_fit_caches(spark) -> float:
     cached_residual_codebooks(spark, SF_DIR, ivfpq_k(n))
     cached_pq_codebooks(spark, SF_DIR)
     cached_semdedup_det(spark, SF_DIR)
+    cached_als_ratings(spark, SF_DIR).count()
     return round(time.perf_counter() - t0, 3)
 
 

@@ -212,7 +212,7 @@ def check_als_recommender(
     # the round-9 judge asked round 10 to adjudicate: the ALS fit
     # CPU was flat (17.4s r10 vs 18.6s r9), the extra wall was this
     # check-query overhead.
-    ratings = P.als_ratings(spark, sf_dir).localCheckpoint(eager=True)
+    ratings = P.cached_als_ratings(spark, sf_dir).localCheckpoint(eager=True)
     n_active = int(ratings.select("user").distinct().count())
     n_expected = min(n_active, P.ALS_N_QUERY_USERS) * P.ALS_TOP_K
     recs = P.als_recommend(spark, sf_dir, ratings=ratings).localCheckpoint(

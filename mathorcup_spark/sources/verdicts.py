@@ -156,28 +156,31 @@ def _sig_aggs(columns) -> list:
 def _write_rows_observed(
     rows: DataFrame, path: str, parts: int, mode: str
 ) -> tuple[int, int]:
-    """Write the verdict rows AND compute their :func:`verdict_sig`
-    in the SAME Spark job via ``DataFrame.observe`` (judge r10 item
-    4 — v5's wall is job-barrier-bound at fixture scale: the old
-    shape was eager-checkpoint job + write job + signature-scan job
-    per maintenance op; a CollectMetrics node on the write plan
-    folds all three into one job and the screens are computed
-    exactly once)."""
-    from pyspark.sql import Observation
+    """Write the verdict rows and return their :func:`verdict_sig`.
 
-    obs = Observation()
-    # the metrics node sits ABOVE the range exchange: range
-    # partitioning runs a boundary-sampling pass over its child, so
-    # an observe below it would be executed twice and double-count
+    The screens are computed ONCE (eager checkpoint), then the write
+    and the signature scan read the checkpointed blocks. An earlier
+    round-11 iteration fused all three into one job with a
+    ``DataFrame.observe`` CollectMetrics node on the write plan
+    (placed above the range exchange, whose boundary-sampling pass
+    executes the child twice and double-counts a lower metrics
+    node) — correct and measurably cheaper cold, but REVERTED:
+    Spark 4.1's ObservationManager intermittently leaks into LATER
+    queries' ScalaUDF closures in the same session
+    (java.io.NotSerializableException: ...classic.ObservationManager
+    from an unrelated MLlib ProbabilisticClassificationModel
+    transform, reproduced twice across full-registry sweeps), and a
+    framework-bug lottery is a worse trade than one job barrier. The
+    warm-floor measurement was unchanged either way (SCALING.md
+    round-11 v5 section)."""
+    ck = rows.localCheckpoint(eager=True)
     (
-        rows.repartitionByRange(parts, "doc_id")
+        ck.repartitionByRange(parts, "doc_id")
         .sortWithinPartitions("doc_id")
-        .observe(obs, *_sig_aggs(rows.columns))
         .write.mode(mode)
         .parquet(path)
     )
-    m = obs.get
-    return (int(m["n"]), int(m["s"] or 0))
+    return verdict_sig(ck)
 
 
 def build_verdicts_frozen(
