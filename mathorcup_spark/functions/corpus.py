@@ -618,7 +618,34 @@ def _register_corpus_v5() -> None:
             # additive over disjoint row sets). The heavier
             # maintained == one-shot-rebuild counterfactual lives in
             # tests/test_verdict_table.py + tools/verdict_append_soak.py.
-            got = verdict_sig(maintained)
+            #
+            # Round-11: the signature scan and the consume
+            # materialization are independent reads of the same
+            # rows/ layout, so they run on concurrent scheduler
+            # threads (guide §2.6) — the check still gates the
+            # return, it just no longer serializes before the
+            # consume job.
+            import threading
+
+            box: dict = {}
+
+            def _sig():
+                try:
+                    box["got"] = verdict_sig(maintained)
+                except BaseException as exc:
+                    box["err"] = exc
+
+            t_sig = threading.Thread(target=_sig)
+            t_sig.start()
+            try:
+                result = consume_verdicts(spark, maintained).localCheckpoint(
+                    eager=True
+                )
+            finally:
+                t_sig.join()
+            if "err" in box:
+                raise box["err"]
+            got = box["got"]
             want = (n0 + n1 + n2, c0 + c1 + c2)
             if got != want:
                 raise RuntimeError(
@@ -626,8 +653,7 @@ def _register_corpus_v5() -> None:
                     f"what maintenance wrote: read (rows, checksum)={got}, "
                     f"written={want}"
                 )
-            result = consume_verdicts(spark, maintained)
-            return result.localCheckpoint(eager=True)
+            return result
         finally:
             shutil.rmtree(out, ignore_errors=True)
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import register
 from . import pipelines as P
+from ..session import local_rows
 
 _CHECK_SCHEMA = "check string, n_keys long, n_mismatch long, ok long"
 
@@ -270,7 +271,7 @@ def _check_row(
     bad = [k for k, v in conds.items() if not v]
     if bad:
         raise RuntimeError(f"{name} check failures: {bad}")
-    return spark.createDataFrame([(name, int(n_keys), 0, 1)], _CHECK_SCHEMA)
+    return local_rows(spark, [(name, int(n_keys), 0, 1)], _CHECK_SCHEMA)
 
 
 def _register_check(query_name: str, member: str, doc: str, tags: tuple):

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..session import local_rows
 
 SEED = 42
 
@@ -216,7 +217,7 @@ def train_validation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pm, m in zip(grid, model.validationMetrics, strict=True)
     ]
     best_depth = rows[min(range(len(rows)), key=lambda i: rows[i][1])][0]
-    return spark_sess.createDataFrame(
+    return local_rows(spark_sess, 
         [(d, round(m, 4), d == best_depth) for d, m in rows],
         "max_depth int, rmse double, is_best boolean",
     )

@@ -1126,16 +1126,26 @@ def _lpa_core(spark: SparkSession, sf_dir: str):
             F.col("src").alias("node"), F.col("src").alias("label")
         )
     )
-    w = W.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("label"))
     for _ in range(_LPA_ROUNDS):
         nbr = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("v"), "label"
         )
         cnt = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        # winner per v = highest count, smallest label on ties —
+        # formerly a row_number window (exchange on v + SORT of the
+        # (v,label) counts); max_by over the (cnt, -label) struct
+        # picks the identical row via an ordinary hash aggregate
+        # (round 11, guide §2.4: no sort, and the map-side partial
+        # max shrinks the exchange). The struct key is unique per
+        # (v,label), so the argmax is well-defined and bit-identical
+        # to the window's rn=1 row.
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("v").alias("node"), "label")
+            cnt.groupBy(F.col("v").alias("node"))
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
             .localCheckpoint(eager=False)
         )
     return edges, labels.select(
@@ -1501,20 +1511,34 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, deg, _ = _copurchase_oriented(spark, sf_dir)
     degs = deg.select("p", F.col("d").cast("long").alias("d"))
     tr = _copurchase_trunc(spark, sf_dir)
-    a = tr.alias("a")
-    b = tr.alias("b")
-    dz = degs.select(F.col("p").alias("z"), F.col("d").alias("dz"))
+    # Per-term CPU moved OFF the wedge rows (guide §2.3 "project
+    # before the exchange" applied to compute): 1/ln(deg(v)) depends
+    # only on the shared neighbor v, so the degree probe join, the
+    # dz >= 2 filter, and the round+divide+cast per term all run on
+    # the |V|·K-row truncated adjacency BEFORE the self-join instead
+    # of on its Σt_v² (22.7M at sf0.1) wedge rows. Values, grouping
+    # and the decimal accumulation are bit-identical (same per-wedge
+    # a.v, hence same term), so the oracle hash is unchanged;
+    # measured round 11: wedge-stage executor CPU 50.7s -> see
+    # OPTIMIZATION_r11.md. The dz join stays an equi-join on v, both
+    # sides co-bucketed (deg is bucketed on p = v's domain).
+    dz = degs.select(F.col("p").alias("v"), F.col("d").alias("dz"))
     term = F.round(F.lit(1.0) / F.log(F.col("dz").cast("double")), 6).cast(
         "decimal(18,6)"
     )
+    ta = (
+        tr.join(dz, "v")
+        .filter(F.col("dz") >= 2)
+        .select("u", "v", term.alias("term"))
+    )
+    a = ta.alias("a")
+    b = tr.alias("b")
     wed = (
         a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("b.u") > F.col("a.u")))
-        .join(dz, F.col("a.v") == F.col("z"))
-        .filter(F.col("dz") >= 2)
         .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum(term).cast("double").alias("aa_score"),
+            F.sum("a.term").cast("double").alias("aa_score"),
         )
     )
     cand = wed.join(
@@ -1640,26 +1664,42 @@ def g_adamic_adar_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s", F.least(F.col("t"), F.lit(_AA_SAMPLE_S)))
         .drop("srn")
     )
-    a = samp.alias("a")
-    b = samp.alias("b")
-    dz = degs.select(F.col("p").alias("z"), F.col("d").alias("dz"))
-    w_ht = F.col("a.t").cast("double") * (F.col("a.t") - F.lit(1)) / (
-        F.col("a.s") * (F.col("a.s") - F.lit(1))
+    # Per-term CPU moved OFF the wedge rows (same rewrite as
+    # g_adamic_adar, see there): the HT weight depends only on the
+    # a-side sample row (t, s) and 1/ln(deg(v)) only on the shared
+    # neighbor v, so the degree join, both filters, and the two
+    # round+cast terms run on the |V|·S-row sample frame before the
+    # self-join instead of on its wedge rows. Per-wedge values,
+    # grouping and decimal accumulation are bit-identical — the
+    # DuckDB oracle hash is unchanged.
+    dz = degs.select(F.col("p").alias("v"), F.col("d").alias("dz"))
+    w_ht = F.col("t").cast("double") * (F.col("t") - F.lit(1)) / (
+        F.col("s") * (F.col("s") - F.lit(1))
     )
     common_term = F.round(w_ht, 6).cast("decimal(18,6)")
     score_term = F.round(
         w_ht / F.log(F.col("dz").cast("double")), 6
     ).cast("decimal(18,6)")
+    ta = (
+        samp.join(dz, "v")
+        .filter((F.col("dz") >= 2) & (F.col("s") >= 2))
+        .select(
+            "u",
+            "v",
+            common_term.alias("common_term"),
+            score_term.alias("score_term"),
+        )
+    )
+    a = ta.alias("a")
+    b = samp.alias("b")
     wed = (
         a.join(
             b, (F.col("a.v") == F.col("b.v")) & (F.col("b.u") > F.col("a.u"))
         )
-        .join(dz, F.col("a.v") == F.col("z"))
-        .filter((F.col("dz") >= 2) & (F.col("a.s") >= 2))
         .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
         .agg(
-            F.sum(common_term).cast("double").alias("est_common"),
-            F.sum(score_term).cast("double").alias("aa_score"),
+            F.sum("a.common_term").cast("double").alias("est_common"),
+            F.sum("a.score_term").cast("double").alias("aa_score"),
         )
     )
     cand = wed.join(

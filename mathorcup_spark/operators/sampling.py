@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..ids import dense_ids
 from ..registry import register
+from ..session import local_rows
 
 # Knuth's multiplicative hash constant — a deterministic stand-in for
 # the reference's np.random entity corruption (oracle-expressible).
@@ -238,7 +239,7 @@ def _register_seeded_check(
         n_keys, _n_orders, bad = seeded_member_check(spark, sf_dir, check)
         if bad:
             raise RuntimeError(f"{query_name} check failures: {bad}")
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [(check, int(n_keys), 0, 1)],
             "check string, n_keys long, n_mismatch long, ok long",
         )

@@ -41,6 +41,7 @@ from ..functions import text as FT
 from ..ml import graph_embed as MLG
 from ..ml import pipelines as MLP
 from ..streaming import windows as STW
+from ..session import local_rows
 
 # slot name -> (spark cast type, duckdb cast type)
 _TYPES = {
@@ -552,7 +553,7 @@ def r_seeded_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if fails:
         raise RuntimeError(f"r_seeded_suite check failures: {fails}")
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, "check string, n_keys long, n_mismatch long, ok long"
     )
 
@@ -1163,7 +1164,7 @@ def ml_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if fails:
         raise RuntimeError(f"ml_pipeline_suite check failures: {fails}")
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, "check string, n_keys long, n_mismatch long, ok long"
     )
 

@@ -741,11 +741,31 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     # one pass over lineitem profiles each order: how many distinct
     # suppliers touched it, how many distinct suppliers had returns.
-    order_profile = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    # Two countDistinct aggregates over one input plan as an Expand
+    # (2x the scan rows through the shuffle); the same numbers come
+    # from a (orderkey, suppkey) pre-aggregation followed by a plain
+    # per-order count/sum — half the shuffled rows, no Expand, and
+    # both aggregates get map-side partial reduction (round 11,
+    # guide §2.3 "aggregate before you shuffle"). n_supp counts the
+    # distinct pairs; n_ret_supp counts pairs where any line
+    # returned — identical values by construction.
+    order_profile = (
+        li.groupBy(
+            F.col("l_orderkey").alias("po_orderkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("has_ret")
+        )
+        .groupBy("po_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("has_ret").alias("n_ret_supp"),
+        )
     )
     orders = (
         load(spark, sf_dir, "orders")

@@ -92,6 +92,37 @@ _CACHE_ROOT = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
 _cleanup_registered = False
 
 
+def default_buckets() -> int:
+    """Scale-adaptive bucket count for derived tables (guide §2.2:
+    partitioning must not be a constant tuned for one deployment).
+
+    The bucketed caches exist so the heavy self-joins (wedge
+    enumeration on `oriented`/`trunc`, the banded LSH candidate
+    join) run with no Exchange — but the bucket count then CAPS the
+    parallelism of those joins' stages: measured round 11, the
+    g_triangle_count wedge stage carried 53 s of executor CPU in 8
+    tasks on 32 cores (wall ~7 s) purely because n_buckets was a
+    constant 8. Locally the number tracks the core count the driver
+    granted (``$SPARK_GRAFT_CPUS``, the same signal session.py
+    sizes shuffle partitions with): HALF the cores, floored at 8 —
+    the round-11 idle-machine A/B (3 passes each) measured 8/16/32
+    buckets at 9.5/6.1/5.5 s wall for g_triangle_count and
+    6.0/4.1/3.4 s for g_adamic_adar, so cores/2 captures most of
+    the win, while executor CPU of these memory-bandwidth-bound
+    probe joins inflates ~1.8× at 16 concurrent tasks vs ~3× at 32
+    (no spill, ≤2 s GC — pure contention) and the halved task width
+    leaves headroom for host-steal spikes. On a production lake the
+    right number is ~(part size / 128 MB) per write_bucketed's doc —
+    set ``SPARK_GRAFT_DERIVED_BUCKETS`` to pin that value. Bucket
+    count is layout-only: row values, and therefore every oracle
+    hash, are unchanged.
+    """
+    env = os.environ.get("SPARK_GRAFT_DERIVED_BUCKETS")
+    if env:
+        return max(1, int(env))
+    return max(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32")) // 2)
+
+
 def _fingerprint(sf_dir: str, fingerprint_files: tuple[str, ...]) -> str:
     h = hashlib.md5(os.path.realpath(sf_dir).encode())
     for rel in fingerprint_files:
@@ -108,7 +139,7 @@ def materialize_derived(
     parts: tuple[str, ...],
     builds: Callable[[], dict[str, tuple[DataFrame, str, str | None]]],
     fingerprint_files: tuple[str, ...] = ("lineitem.parquet",),
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> dict[str, DataFrame]:
     """Return ``{part: bucketed DataFrame}`` for a named derivation.
 
@@ -118,10 +149,15 @@ def materialize_derived(
     under one fingerprint so the parts are always mutually consistent
     (built from one pass over the same inputs). A cache hit requires
     ALL declared parts registered — a partially-written derivation is
-    rebuilt, never half-served. ``n_buckets`` is the local-test size —
-    at lake scale pick ~(part size / 128 MB) per write_bucketed's doc.
+    rebuilt, never half-served. ``n_buckets`` defaults to
+    :func:`default_buckets` (scale-adaptive: granted cores locally,
+    ``SPARK_GRAFT_DERIVED_BUCKETS`` = ~(part size / 128 MB) on a
+    lake); pass an explicit value only when the consumer needs a
+    specific layout (e.g. the 1-bucket fit tables).
     """
     global _cleanup_registered
+    if n_buckets is None:
+        n_buckets = default_buckets()
     key = _fingerprint(sf_dir, fingerprint_files)
     tables = {p: f"mcs_{name}_{key}_{p}" for p in parts}
     if all(spark.catalog.tableExists(t) for t in tables.values()):

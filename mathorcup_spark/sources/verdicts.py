@@ -170,17 +170,42 @@ def _write_rows_observed(
     (java.io.NotSerializableException: ...classic.ObservationManager
     from an unrelated MLlib ProbabilisticClassificationModel
     transform, reproduced twice across full-registry sweeps), and a
-    framework-bug lottery is a worse trade than one job barrier. The
-    warm-floor measurement was unchanged either way (SCALING.md
-    round-11 v5 section)."""
+    framework-bug lottery is a worse trade than one job barrier.
+
+    Round-11 optimization (guide §2.6 "overlap independent jobs"):
+    the signature scan and the rows write both read only the
+    checkpointed blocks and are independent, so they run on
+    concurrent scheduler threads — the barrier pair becomes one
+    barrier, without observe() and without touching the
+    rows-before-hashes durability order (the caller's hashes write
+    still waits for this function to return, i.e. for the rows
+    write to commit). Values are unchanged: the signature is
+    computed from the same blocks either way."""
+    import threading
+
     ck = rows.localCheckpoint(eager=True)
-    (
-        ck.repartitionByRange(parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode(mode)
-        .parquet(path)
-    )
-    return verdict_sig(ck)
+    sig_box: dict = {}
+
+    def _sig():
+        try:
+            sig_box["sig"] = verdict_sig(ck)
+        except BaseException as exc:  # surfaced on join below
+            sig_box["err"] = exc
+
+    t = threading.Thread(target=_sig)
+    t.start()
+    try:
+        (
+            ck.repartitionByRange(parts, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode(mode)
+            .parquet(path)
+        )
+    finally:
+        t.join()
+    if "err" in sig_box:
+        raise sig_box["err"]
+    return sig_box["sig"]
 
 
 def build_verdicts_frozen(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import dsum, oracle_dsum, register
+from ..session import local_rows
 
 
 def tumbling_agg(events: DataFrame) -> DataFrame:
@@ -1044,6 +1045,6 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     failed = [r for r in rows if r[3] == 0]
     assert not failed, f"stream/batch mismatch: {failed}"
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, "check STRING, n_keys LONG, n_mismatch LONG, match LONG"
     )
