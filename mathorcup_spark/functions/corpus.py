@@ -453,7 +453,20 @@ def _register_corpus_v4() -> None:
         out = tempfile.mkdtemp(prefix="mathorcup_verdicts_")
         try:
             write_verdict_table(spark, load(spark, sf_dir, "documents"), out)
-            result = consume_verdicts(spark, read_verdict_table(spark, out))
+            # ONE scan of the verdict layout (round 12, guide §5/§3.3):
+            # the consumer's plan references its input ~4× (the counts
+            # subtree under both k and rates, the kept side, and the
+            # prefix-sum range exchange's boundary-sampling pass), so
+            # an un-materialized read re-scans the layout once per
+            # reference. The eager checkpoint pays one barrier and
+            # every re-derivation reads executor-resident blocks. The
+            # zero-documents-scan consumer claim is audited on the
+            # un-checkpointed consume_verdicts plan (tools/
+            # plan_audit.py::audit_verdict_consumer) and is only
+            # strengthened here: the layout itself is now scanned
+            # once, not 4×. Values are unchanged.
+            verd = read_verdict_table(spark, out).localCheckpoint(eager=True)
+            result = consume_verdicts(spark, verd)
             # materialize before the layout is deleted (batch-sized:
             # the packed kept-set, not the corpus)
             return result.localCheckpoint(eager=True)
@@ -610,7 +623,17 @@ def _register_corpus_v5() -> None:
             n2, c2 = append_to_verdict_table(
                 spark, out, docs.filter(F.col("doc_id") >= t2)
             )
-            maintained = read_incremental_verdicts(spark, out)
+            # ONE scan + ONE replay-dedup shuffle of the maintained
+            # rows (round 12, guide §5/§3.3): the signature scan, the
+            # consumer's ~4 plan references (counts under k and rates,
+            # the kept side, the range-boundary sampling pass) and the
+            # final pass each re-derived scan+dropDuplicates before;
+            # the eager checkpoint materializes the narrow verdict
+            # frame once and every reader — including the concurrent
+            # signature thread — reads the blocks. Values unchanged.
+            maintained = read_incremental_verdicts(spark, out).localCheckpoint(
+                eager=True
+            )
 
             # disk-roundtrip self-assertion: the read-back table's
             # order-independent signature must equal the additive sum
@@ -625,7 +648,7 @@ def _register_corpus_v5() -> None:
             # threads (guide §2.6) — the check still gates the
             # return, it just no longer serializes before the
             # consume job.
-            import threading
+            from pyspark import InheritableThread
 
             box: dict = {}
 
@@ -635,7 +658,10 @@ def _register_corpus_v5() -> None:
                 except BaseException as exc:
                     box["err"] = exc
 
-            t_sig = threading.Thread(target=_sig)
+            # InheritableThread: inherits job group/description under
+            # pinned-thread mode and releases its pinned JVM thread on
+            # exit (ADVICE r11)
+            t_sig = InheritableThread(target=_sig)
             t_sig.start()
             try:
                 result = consume_verdicts(spark, maintained).localCheckpoint(
@@ -643,11 +669,15 @@ def _register_corpus_v5() -> None:
                 )
             finally:
                 t_sig.join()
-            if "err" in box:
-                raise box["err"]
-            got = box["got"]
+            got = box.get("got")
             want = (n0 + n1 + n2, c0 + c1 + c2)
-            if got != want:
+            if "err" in box or got != want:
+                # the consume result is discarded on drift — release
+                # its checkpoint blocks instead of pinning them until
+                # GC (ADVICE r11)
+                result.unpersist()
+                if "err" in box:
+                    raise box["err"]
                 raise RuntimeError(
                     f"incremental verdict table read-back diverged from "
                     f"what maintenance wrote: read (rows, checksum)={got}, "

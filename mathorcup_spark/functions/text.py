@@ -1402,7 +1402,7 @@ def bpe_pair_counts_of(toks: DataFrame) -> DataFrame:
 )
 def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _toks = bpe_train_core(spark, sf_dir)
-    return local_rows(spark, 
+    return local_rows(spark,
         merges,
         "round long, left_tok string, right_tok string, "
         "merged string, pair_count long",
@@ -1652,7 +1652,7 @@ def bpe_train_batched_core(
 )
 def t_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _toks = bpe_train_batched_core(spark, sf_dir)
-    return local_rows(spark, 
+    return local_rows(spark,
         merges,
         "pass_no long, batch_rank long, left_tok string, "
         "right_tok string, merged string, pair_count long",

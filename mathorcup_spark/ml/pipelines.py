@@ -217,7 +217,7 @@ def train_validation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pm, m in zip(grid, model.validationMetrics, strict=True)
     ]
     best_depth = rows[min(range(len(rows)), key=lambda i: rows[i][1])][0]
-    return local_rows(spark_sess, 
+    return local_rows(spark_sess,
         [(d, round(m, 4), d == best_depth) for d, m in rows],
         "max_depth int, rmse double, is_best boolean",
     )

@@ -1668,17 +1668,27 @@ _FP_MIN_SUPPORT = 2  # orders containing the pair
     tags=("agg", "basket", "frequent-itemset", "A16"),
 )
 def a_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import _pack_uv, _unpack_uv
+
     li = load(spark, sf_dir, "lineitem")
     baskets = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     a = baskets.select("o", F.col("p").alias("p1"))
     b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    # pair-count aggregate keyed on the PACKED (p1,p2) long — the
+    # same rewrite as the graph wedge aggregates (judge r11 item 3,
+    # guide §2.2/§2.3): half the exchange key bytes, single-long hash
+    # aggregate. Injective for part ids < 2^32 (l_partkey is 200k·SF;
+    # the graph cache build asserts the same domain); grouping and
+    # counts are bit-identical, (p1,p2) unpacked right after.
+    p1q, p2q = _unpack_uv()
     pair = (
         a.join(b, (F.col("o2") == F.col("o")) & (F.col("p2") > F.col("p1")))
-        .groupBy("p1", "p2")
+        .groupBy(_pack_uv(F.col("p1"), F.col("p2")).alias("uv"))
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= _FP_MIN_SUPPORT)
+        .select(p1q.alias("p1"), p2q.alias("p2"), "pair_n")
     )
     item = baskets.groupBy("p").agg(F.count("*").alias("item_n"))
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))

@@ -239,7 +239,7 @@ def _register_seeded_check(
         n_keys, _n_orders, bad = seeded_member_check(spark, sf_dir, check)
         if bad:
             raise RuntimeError(f"{query_name} check failures: {bad}")
-        return local_rows(spark, 
+        return local_rows(spark,
             [(check, int(n_keys), 0, 1)],
             "check string, n_keys long, n_mismatch long, ok long",
         )

@@ -553,7 +553,7 @@ def r_seeded_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if fails:
         raise RuntimeError(f"r_seeded_suite check failures: {fails}")
-    return local_rows(spark, 
+    return local_rows(spark,
         rows, "check string, n_keys long, n_mismatch long, ok long"
     )
 
@@ -1164,7 +1164,7 @@ def ml_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if fails:
         raise RuntimeError(f"ml_pipeline_suite check failures: {fails}")
-    return local_rows(spark, 
+    return local_rows(spark,
         rows, "check string, n_keys long, n_mismatch long, ok long"
     )
 

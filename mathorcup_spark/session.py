@@ -40,6 +40,15 @@ def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
     explicit schema drives the Arrow conversion positionally, and
     object dtype hands ints/floats/strings/lists/timestamps/None to
     Arrow unchanged (verified collect()-equal against the list path).
+
+    Assumes ``spark.sql.execution.arrow.pyspark.enabled=true`` (set by
+    :func:`get_spark`; an externally-provided session with Arrow off
+    silently falls back to the slow row path — performance-only, the
+    values are identical either way). Unlike ``createDataFrame(list)``
+    this path skips per-row type verification: a value that doesn't
+    fit the declared schema surfaces as an Arrow cast error at plan
+    construction, not a per-field TypeError — call sites declare their
+    schemas honestly.
     """
     import pandas as pd
 

@@ -92,7 +92,7 @@ _CACHE_ROOT = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
 _cleanup_registered = False
 
 
-def default_buckets() -> int:
+def default_buckets(spark: SparkSession | None = None) -> int:
     """Scale-adaptive bucket count for derived tables (guide §2.2:
     partitioning must not be a constant tuned for one deployment).
 
@@ -116,10 +116,24 @@ def default_buckets() -> int:
     set ``SPARK_GRAFT_DERIVED_BUCKETS`` to pin that value. Bucket
     count is layout-only: row values, and therefore every oracle
     hash, are unchanged.
+
+    ``spark`` (when given) supplies the live core count via
+    ``sparkContext.defaultParallelism`` — correct even when the
+    driver built its own session or passed ``get_spark(cpus=...)``
+    without exporting ``SPARK_GRAFT_CPUS`` (ADVICE r11); the env var
+    is the fallback for call sites without a session handle.
     """
     env = os.environ.get("SPARK_GRAFT_DERIVED_BUCKETS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError as exc:
+            raise ValueError(
+                "SPARK_GRAFT_DERIVED_BUCKETS must be an integer bucket "
+                f"count, got {env!r}"
+            ) from exc
+    if spark is not None:
+        return max(8, int(spark.sparkContext.defaultParallelism) // 2)
     return max(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32")) // 2)
 
 
@@ -157,7 +171,7 @@ def materialize_derived(
     """
     global _cleanup_registered
     if n_buckets is None:
-        n_buckets = default_buckets()
+        n_buckets = default_buckets(spark)
     key = _fingerprint(sf_dir, fingerprint_files)
     tables = {p: f"mcs_{name}_{key}_{p}" for p in parts}
     if all(spark.catalog.tableExists(t) for t in tables.values()):

@@ -1045,6 +1045,6 @@ def st_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     failed = [r for r in rows if r[3] == 0]
     assert not failed, f"stream/batch mismatch: {failed}"
-    return local_rows(spark, 
+    return local_rows(spark,
         rows, "check STRING, n_keys LONG, n_mismatch LONG, match LONG"
     )

@@ -1,6 +1,6 @@
 """Profile named registry queries: per-query wall + executor CPU,
 per-stage breakdown from the UI REST API, and the formatted physical
-plan written to plans/r11/<query>_<tag>.txt (guide §1: measure first,
+plan written to plans/r12/<query>_<tag>.txt (guide §1: measure first,
 capture .explain("formatted"), label jobs).
 
 Usage:
@@ -86,7 +86,7 @@ def main() -> int:
         "query_profile",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
     )
-    plan_dir = Path(__file__).resolve().parents[1] / "plans" / "r11"
+    plan_dir = Path(__file__).resolve().parents[1] / "plans" / "r12"
     plan_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:
